@@ -1,0 +1,208 @@
+"""Reference tile kernels: numpy-in / numpy-out (analog of numpywren/kernels.py).
+
+The reference's kernels wrap scipy/LAPACK (cholesky, trsm, syrk-via-gemm,
+gemm, qr_factor, lq_factor, identity, add). These definitions serve three
+roles in the rebuild:
+
+1. semantic ground truth that the Pallas/MXU kernels in numpywren_tpu.ops
+   must match (per-kernel tile tests),
+2. the compute path of the LocalExecutor (in-process, threaded — the
+   parity analog of running job_runner in-process, see SURVEY §4.3),
+3. the fp64 shadow path for residual checks.
+
+Conventions (used consistently by the DSL algorithms in algs.py):
+- `potrf(a)`              -> L, lower Cholesky factor of SPD tile a.
+- `trsm(a, l)`            -> X with X @ L^T = A  (right-solve against the
+                             transposed lower factor — the Cholesky panel op).
+- `syrk(s, x, y)`         -> s - x @ y^T  (trailing-update accumulate-out).
+- `gemm(a, b)`            -> a @ b.
+- `gemm_nt(a, b)`         -> a @ b^T ;  `gemm_tn(a, b)` -> a^T @ b.
+- `add/sub(a, b)`, `identity(a)`, `copy(a)`.
+- `qr_leaf(a)`            -> (Q, R) thin QR of a tile (TSQR leaf).
+- `qr_combine(r_top, r_bot)` -> (Q, R) QR of the stacked [R_top; R_bot]
+                             (TSQR tree node; the reference expresses this
+                             through the `reducer` construct).
+- `lq_leaf(a)`            -> (L, Q) thin LQ (BDFAC's row sweep).
+- `small_qr_apply(q, a)`  -> q^T @ a (applying a combine Q to stacked data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+
+
+# --------------------------------------------------------------------------
+# Cholesky family
+# --------------------------------------------------------------------------
+
+def potrf(a: np.ndarray) -> np.ndarray:
+    """Lower Cholesky factor of an SPD tile (LAPACK potrf)."""
+    return np.linalg.cholesky(np.asarray(a, dtype=np.float64)).astype(a.dtype)
+
+
+def trsm(a: np.ndarray, l: np.ndarray) -> np.ndarray:
+    """Solve X @ L^T = A for X (panel op of right-looking Cholesky)."""
+    a64 = np.asarray(a, dtype=np.float64)
+    l64 = np.asarray(l, dtype=np.float64)
+    # X L^T = A  <=>  L X^T = A^T
+    xt = scipy.linalg.solve_triangular(l64, a64.T, lower=True)
+    return xt.T.astype(a.dtype)
+
+
+def syrk(s: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Trailing update: s - x @ y^T (reference kernels.syrk, gemm-shaped)."""
+    out = np.asarray(s, dtype=np.float64) - np.asarray(x, np.float64) @ np.asarray(y, np.float64).T
+    return out.astype(s.dtype)
+
+
+# --------------------------------------------------------------------------
+# GEMM family
+# --------------------------------------------------------------------------
+
+def gemm(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (np.asarray(a, np.float64) @ np.asarray(b, np.float64)).astype(a.dtype)
+
+
+def gemm_nt(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (np.asarray(a, np.float64) @ np.asarray(b, np.float64).T).astype(a.dtype)
+
+
+def gemm_tn(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (np.asarray(a, np.float64).T @ np.asarray(b, np.float64)).astype(a.dtype)
+
+
+def gemm_acc(c: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """c + a @ b — the accumulating inner statement of blocked GEMM."""
+    out = np.asarray(c, np.float64) + np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    return out.astype(c.dtype)
+
+
+# --------------------------------------------------------------------------
+# Elementwise / structural
+# --------------------------------------------------------------------------
+
+def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (np.asarray(a, np.float64) + np.asarray(b, np.float64)).astype(a.dtype)
+
+
+def sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (np.asarray(a, np.float64) - np.asarray(b, np.float64)).astype(a.dtype)
+
+
+def identity(a: np.ndarray) -> np.ndarray:
+    """Identity tile with a's shape/dtype (reference kernels.identity)."""
+    out = np.zeros_like(np.asarray(a))
+    np.fill_diagonal(out, 1.0)
+    return out
+
+
+def copy(a: np.ndarray) -> np.ndarray:
+    return np.array(a, copy=True)
+
+
+def transpose(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a).T)
+
+
+# --------------------------------------------------------------------------
+# QR family (TSQR / BDFAC)
+# --------------------------------------------------------------------------
+
+def qr_leaf(a: np.ndarray):
+    """Thin QR of a (tall) tile: a = Q R, Q: (m,n), R: (n,n)."""
+    q, r = np.linalg.qr(np.asarray(a, np.float64))
+    return q.astype(a.dtype), r.astype(a.dtype)
+
+
+def qr_combine(r_top: np.ndarray, r_bot: np.ndarray):
+    """QR of the stacked pair [R_top; R_bot]: returns (Q, R) with
+    Q: (2n, n), R: (n, n). TSQR tree-node kernel."""
+    stacked = np.vstack([np.asarray(r_top, np.float64), np.asarray(r_bot, np.float64)])
+    q, r = np.linalg.qr(stacked)
+    return q.astype(r_top.dtype), r.astype(r_top.dtype)
+
+
+def qr_r(a: np.ndarray) -> np.ndarray:
+    """R factor only (used where Q is not needed)."""
+    return np.linalg.qr(np.asarray(a, np.float64), mode="r").astype(a.dtype)
+
+
+def lq_leaf(a: np.ndarray):
+    """Thin LQ of a (wide) tile: a = L Q. Returns (L, Q)."""
+    q, r = np.linalg.qr(np.asarray(a, np.float64).T)
+    return r.T.astype(a.dtype), q.T.astype(a.dtype)
+
+
+def small_qr_apply(q: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """q^T @ a — apply a combine/leaf Q to stacked data."""
+    return (np.asarray(q, np.float64).T @ np.asarray(a, np.float64)).astype(a.dtype)
+
+
+# --------------------------------------------------------------------------
+# Registry + flop model (feeds the metrics layer; the reference keeps
+# per-instruction flop counters on RemoteInstruction — SURVEY §5 tracing)
+# --------------------------------------------------------------------------
+
+KERNELS = {
+    "potrf": potrf,
+    "trsm": trsm,
+    "syrk": syrk,
+    "gemm": gemm,
+    "gemm_nt": gemm_nt,
+    "gemm_tn": gemm_tn,
+    "gemm_acc": gemm_acc,
+    "add": add,
+    "sub": sub,
+    "identity": identity,
+    "copy": copy,
+    "transpose": transpose,
+    "qr_leaf": qr_leaf,
+    "qr_combine": qr_combine,
+    "qr_r": qr_r,
+    "lq_leaf": lq_leaf,
+    "small_qr_apply": small_qr_apply,
+}
+
+# number of outputs per kernel (the DSL needs this for multi-assignment)
+N_OUTPUTS = {name: 1 for name in KERNELS}
+N_OUTPUTS.update({"qr_leaf": 2, "qr_combine": 2, "lq_leaf": 2})
+
+
+def flop_count(op: str, shapes) -> int:
+    """Approximate useful flops of one kernel call given input shapes."""
+    if op in ("gemm", "gemm_nt", "gemm_tn"):
+        (m, k), s2 = shapes[0], shapes[1]
+        n = s2[1] if op == "gemm" else (s2[0] if op == "gemm_nt" else s2[1])
+        return 2 * m * k * n
+    if op == "gemm_acc":
+        (m, k) = shapes[1]
+        n = shapes[2][1]
+        return 2 * m * k * n
+    if op == "syrk":
+        (m, k) = shapes[1]
+        n = shapes[2][0]
+        return 2 * m * k * n
+    if op == "trsm":
+        m, n = shapes[0]
+        return m * n * n
+    if op == "potrf":
+        n = shapes[0][0]
+        return n * n * n // 3
+    if op in ("qr_leaf", "qr_r"):
+        m, n = shapes[0]
+        return 2 * m * n * n
+    if op == "qr_combine":
+        n = shapes[0][0]
+        return 2 * (2 * n) * n * n
+    if op == "lq_leaf":
+        m, n = shapes[0]
+        return 2 * n * m * m
+    if op == "small_qr_apply":
+        (m, k) = shapes[0]
+        n = shapes[1][1]
+        return 2 * m * k * n
+    if op in ("add", "sub", "copy", "identity", "transpose"):
+        m, n = shapes[0]
+        return m * n
+    return 0

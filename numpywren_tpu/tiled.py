@@ -1,0 +1,483 @@
+"""TiledMatrix: the TPU-native tiled-array store.
+
+Rebuild of the reference block store (numpywren/matrix.py :: BigMatrix /
+BigSymmetricMatrix; matrix_init.py :: shard_matrix). The reference shards a
+dense matrix into fixed-size 2-D blocks, one S3 object per block, and keeps
+only metadata in the matrix object; compute nodes are stateless and *all*
+state lives in object storage.
+
+The TPU inversion: a matrix lives in accelerator HBM as ONE flat, padded
+``jax.Array`` (optionally sharded over a device mesh with NamedSharding), so
+that tile (i, j) is the contiguous slice
+``data[i*Tm:(i+1)*Tm, j*Tn:(j+1)*Tn]``. Contiguous tile *regions* are then
+zero-copy slices, which is what lets the static-schedule compiler emit large
+fused MXU ops instead of per-tile traffic. A host-RAM tier (dict of numpy
+tiles) provides (a) the spill target for out-of-HBM matrices and (b) the
+sparse/lazy semantics of the reference store (blocks that don't exist yet,
+``parent_fn`` fallbacks, symmetric lower-triangle-only storage).
+
+API parity with BigMatrix: get_block / put_block / delete_block /
+block_idxs / block_idxs_exist / block_idxs_not_exist / blocks / numpy() /
+submatrix / .T / free, plus parent_fn lazy aliasing.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from numpywren_tpu.exceptions import BlockNotFoundError, ShapeError
+from numpywren_tpu.utils import cdiv, hash_key, round_up
+
+Idx = Tuple[int, int]
+
+_ANON_COUNTER = [0]
+_ANON_LOCK = threading.Lock()
+
+
+def _anon_key(prefix: str) -> str:
+    with _ANON_LOCK:
+        _ANON_COUNTER[0] += 1
+        n = _ANON_COUNTER[0]
+    return f"{prefix}-{n}-{hash_key(prefix, n)}"
+
+
+def _jnp():
+    import jax.numpy as jnp  # local import: keep module import cheap
+
+    return jnp
+
+
+class _TiledBase:
+    """Shared interface for TiledMatrix and its views (transpose/submatrix)."""
+
+    key: str
+    shape: Tuple[int, int]
+    tile: Tuple[int, int]
+    dtype: np.dtype
+
+    # ---- derived geometry -------------------------------------------------
+    @property
+    def grid(self) -> Tuple[int, int]:
+        """Number of tiles along each dim (BigMatrix num blocks analog)."""
+        return (cdiv(self.shape[0], self.tile[0]), cdiv(self.shape[1], self.tile[1]))
+
+    @property
+    def padded_shape(self) -> Tuple[int, int]:
+        return (self.grid[0] * self.tile[0], self.grid[1] * self.tile[1])
+
+    def true_block_shape(self, i: int, j: int) -> Tuple[int, int]:
+        """Unpadded shape of edge blocks (reference edge blocks are cropped;
+        ours are zero/identity padded, but the logical shape is retained)."""
+        gm, gn = self.grid
+        m = self.tile[0] if i < gm - 1 else self.shape[0] - i * self.tile[0]
+        n = self.tile[1] if j < gn - 1 else self.shape[1] - j * self.tile[1]
+        return (m, n)
+
+    def _check_idx(self, i: int, j: int):
+        gm, gn = self.grid
+        if not (0 <= i < gm and 0 <= j < gn):
+            raise ShapeError(f"block index ({i},{j}) outside grid {self.grid} of {self.key}")
+
+    # ---- enumeration (parity: block_idxs / blocks) -------------------------
+    @property
+    def block_idxs(self) -> List[Idx]:
+        gm, gn = self.grid
+        return [(i, j) for i in range(gm) for j in range(gn)]
+
+    @property
+    def blocks(self) -> List[Tuple[slice, slice]]:
+        """Element-space slices per block (logical, cropped at edges)."""
+        out = []
+        for (i, j) in self.block_idxs:
+            m, n = self.true_block_shape(i, j)
+            out.append(
+                (
+                    slice(i * self.tile[0], i * self.tile[0] + m),
+                    slice(j * self.tile[1], j * self.tile[1] + n),
+                )
+            )
+        return out
+
+    @property
+    def block_idxs_exist(self) -> List[Idx]:
+        return [idx for idx in self.block_idxs if self.block_exists(*idx)]
+
+    @property
+    def block_idxs_not_exist(self) -> List[Idx]:
+        return [idx for idx in self.block_idxs if not self.block_exists(*idx)]
+
+    # ---- abstract ----------------------------------------------------------
+    def get_block(self, i: int, j: int):
+        raise NotImplementedError
+
+    def put_block(self, arr, i: int, j: int):
+        raise NotImplementedError
+
+    def delete_block(self, i: int, j: int):
+        raise NotImplementedError
+
+    def block_exists(self, i: int, j: int) -> bool:
+        raise NotImplementedError
+
+    # ---- views --------------------------------------------------------------
+    @property
+    def T(self) -> "_TiledBase":
+        return TransposeView(self)
+
+    def submatrix(self, row_blocks, col_blocks) -> "_TiledBase":
+        """View over a block-index range (BigMatrix.submatrix analog; the
+        reference's submatrix also operates in block space)."""
+        return SubmatrixView(self, _as_range(row_blocks, self.grid[0]), _as_range(col_blocks, self.grid[1]))
+
+    # ---- materialization ------------------------------------------------------
+    def numpy(self) -> np.ndarray:
+        """Materialize to a local numpy array of the logical shape."""
+        out = np.zeros(self.shape, dtype=self.dtype)
+        for (i, j) in self.block_idxs:
+            m, n = self.true_block_shape(i, j)
+            blk = np.asarray(self.get_block(i, j))[:m, :n]
+            out[i * self.tile[0] : i * self.tile[0] + m, j * self.tile[1] : j * self.tile[1] + n] = blk
+        return out
+
+    def __repr__(self):
+        return (
+            f"{type(self).__name__}(key={self.key!r}, shape={self.shape}, "
+            f"tile={self.tile}, grid={self.grid}, dtype={np.dtype(self.dtype).name})"
+        )
+
+
+def _as_range(r, n: int) -> range:
+    if isinstance(r, range):
+        return r
+    if isinstance(r, slice):
+        return range(*r.indices(n))
+    if isinstance(r, int):
+        return range(r, r + 1)
+    return range(r[0], r[1])
+
+
+class TiledMatrix(_TiledBase):
+    """A tiled (M, N) matrix backed by HBM (flat padded jax.Array) or host RAM.
+
+    Parameters mirror BigMatrix.__init__(key, shape, shard_sizes, bucket,
+    dtype, parent_fn) where applicable; `storage` picks the tier:
+
+    - ``storage="hbm"``: one padded device array; every block "exists" once
+      the array is allocated (dense semantics). `sharding` may be a
+      jax.sharding.NamedSharding to lay tiles out over a mesh.
+    - ``storage="host"``: dict of numpy tiles; sparse semantics identical to
+      the reference store (missing blocks fall back to `parent_fn` or raise
+      BlockNotFoundError). This is also the spill tier.
+    """
+
+    def __init__(
+        self,
+        key: Optional[str] = None,
+        shape: Tuple[int, int] = None,
+        tile: Tuple[int, int] = (512, 512),
+        dtype=np.float32,
+        storage: str = "hbm",
+        parent_fn: Optional[Callable] = None,
+        sharding=None,
+        fill: Optional[float] = 0.0,
+    ):
+        if shape is None:
+            raise ShapeError("shape is required")
+        self.key = key or _anon_key("tm")
+        self.shape = tuple(int(s) for s in shape)
+        self.tile = tuple(int(t) for t in tile)
+        self.dtype = np.dtype(dtype)
+        self.storage = storage
+        self.parent_fn = parent_fn
+        self.sharding = sharding
+        self._lock = threading.Lock()
+        self._freed = False
+
+        if storage == "hbm":
+            jnp = _jnp()
+            import jax
+
+            if fill is None:
+                self._data = None  # allocated lazily on first put
+            else:
+                arr = jnp.full(self.padded_shape, fill, dtype=self.dtype)
+                if sharding is not None:
+                    arr = jax.device_put(arr, sharding)
+                self._data = arr
+            self._written = np.zeros(self.grid, dtype=bool)
+        elif storage == "host":
+            self._tiles: Dict[Idx, np.ndarray] = {}
+        else:
+            raise ValueError(f"unknown storage tier {storage!r}")
+
+    # ------------------------------------------------------------------ HBM
+    @property
+    def array(self):
+        """The padded flat device array (HBM tier only). Fused executors
+        operate on this functionally and commit with replace_array()."""
+        if self.storage != "hbm":
+            raise ValueError("array only available for hbm storage; use to_hbm()")
+        if self._data is None:
+            jnp = _jnp()
+            self._data = jnp.zeros(self.padded_shape, dtype=self.dtype)
+        return self._data
+
+    def replace_array(self, new_array, mark_written: bool = True):
+        if self.storage != "hbm":
+            raise ValueError("replace_array only for hbm storage")
+        if tuple(new_array.shape) != self.padded_shape:
+            raise ShapeError(f"expected padded shape {self.padded_shape}, got {new_array.shape}")
+        self._data = new_array
+        if mark_written:
+            self._written[:] = True
+
+    # ------------------------------------------------------------- get/put
+    def get_block(self, i: int, j: int):
+        """Fetch tile (i, j), always full tile-shaped (edge blocks padded).
+
+        Reference behavior (matrix.py::get_block): S3 get; on miss, if
+        parent_fn is set, delegate to it (lazy aliasing of scratch matrices
+        onto their inputs), else error.
+        """
+        self._check_idx(i, j)
+        if self.storage == "hbm":
+            if not self._written[i, j]:
+                blk = self._fallback(i, j)
+                # cache the fallback into the array so repeated reads are HBM hits
+                self.put_block(blk, i, j)
+                return self.get_block(i, j)
+            ti, tj = self.tile
+            return self.array[i * ti : (i + 1) * ti, j * tj : (j + 1) * tj]
+        else:
+            with self._lock:
+                blk = self._tiles.get((i, j))
+            if blk is None:
+                blk = np.asarray(self._fallback(i, j))
+                blk = self._pad_tile(blk, i, j)
+            return blk
+
+    def _fallback(self, i: int, j: int):
+        if self.parent_fn is not None:
+            return self.parent_fn(self, i, j)
+        raise BlockNotFoundError(f"block ({i},{j}) of {self.key} does not exist and no parent_fn")
+
+    def _pad_tile(self, arr: np.ndarray, i: int, j: int):
+        ti, tj = self.tile
+        arr = np.asarray(arr, dtype=self.dtype)
+        if arr.shape == (ti, tj):
+            return arr
+        m, n = self.true_block_shape(i, j)
+        if arr.shape != (m, n):
+            accepted = f"{(ti, tj)}" if (m, n) == (ti, tj) else f"{(ti, tj)} or edge shape {(m, n)}"
+            raise ShapeError(
+                f"block ({i},{j}) of {self.key}: expected {accepted}, got {arr.shape}"
+            )
+        out = np.zeros((ti, tj), dtype=self.dtype)
+        out[:m, :n] = arr
+        return out
+
+    def put_block(self, arr, i: int, j: int):
+        """Store tile (i, j). Accepts full-tile or true-edge-shaped arrays;
+        idempotent by construction (deterministic location), matching the
+        reference's idempotent S3 writes that make task re-execution safe."""
+        self._check_idx(i, j)
+        if self.storage == "hbm":
+            import jax
+
+            jnp = _jnp()
+            blk = jnp.asarray(arr, dtype=self.dtype)
+            ti, tj = self.tile
+            if blk.shape != (ti, tj):
+                blk = jnp.asarray(self._pad_tile(np.asarray(arr), i, j))
+            with self._lock:
+                self._data = jax.lax.dynamic_update_slice(self.array, blk, (i * ti, j * tj))
+                self._written[i, j] = True
+        else:
+            blk = self._pad_tile(np.asarray(arr), i, j)
+            with self._lock:
+                self._tiles[(i, j)] = blk
+        return (i, j)
+
+    def delete_block(self, i: int, j: int):
+        self._check_idx(i, j)
+        if self.storage == "hbm":
+            with self._lock:
+                self._written[i, j] = False
+        else:
+            with self._lock:
+                self._tiles.pop((i, j), None)
+
+    def block_exists(self, i: int, j: int) -> bool:
+        if self.storage == "hbm":
+            return bool(self._written[i, j])
+        return (i, j) in self._tiles
+
+    def free(self):
+        """Drop all storage (BigMatrix.free/delete analog)."""
+        with self._lock:
+            if self.storage == "hbm":
+                self._data = None
+                self._written[:] = False
+            else:
+                self._tiles.clear()
+            self._freed = True
+
+    # --------------------------------------------------------- tier moves
+    def to_hbm(self, sharding=None) -> "TiledMatrix":
+        """Copy into a new HBM-tier matrix (spill-in)."""
+        out = TiledMatrix(
+            key=self.key + ":hbm",
+            shape=self.shape,
+            tile=self.tile,
+            dtype=self.dtype,
+            storage="hbm",
+            sharding=sharding if sharding is not None else self.sharding,
+        )
+        if self.storage == "hbm":
+            out.replace_array(self.array)
+            out._written = self._written.copy()
+        else:
+            import jax
+
+            jnp = _jnp()
+            pad = np.zeros(self.padded_shape, dtype=self.dtype)
+            for (i, j), blk in self._tiles.items():
+                ti, tj = self.tile
+                pad[i * ti : (i + 1) * ti, j * tj : (j + 1) * tj] = blk
+            arr = jnp.asarray(pad)
+            if out.sharding is not None:
+                arr = jax.device_put(arr, out.sharding)
+            out.replace_array(arr, mark_written=False)
+            for (i, j) in self._tiles:
+                out._written[i, j] = True
+        return out
+
+    def to_host(self) -> "TiledMatrix":
+        """Copy into a new host-tier matrix (spill-out)."""
+        out = TiledMatrix(
+            key=self.key + ":host",
+            shape=self.shape,
+            tile=self.tile,
+            dtype=self.dtype,
+            storage="host",
+            parent_fn=self.parent_fn,
+        )
+        if self.storage == "host":
+            with self._lock:
+                out._tiles = dict(self._tiles)
+        else:
+            host = np.asarray(self.array)
+            ti, tj = self.tile
+            for (i, j) in self.block_idxs:
+                if self._written[i, j]:
+                    out._tiles[(i, j)] = host[i * ti : (i + 1) * ti, j * tj : (j + 1) * tj].copy()
+        return out
+
+
+class TiledSymmetricMatrix(TiledMatrix):
+    """Symmetric matrix storing only the lower triangle in the host tier
+    (BigSymmetricMatrix parity: index canonicalization (i,j)->(j,i) with a
+    transpose on read). The HBM tier mirrors writes into both triangles so
+    that fused region ops can slice either side without index gymnastics.
+    """
+
+    def __init__(self, key=None, shape=None, tile=(512, 512), dtype=np.float32, storage="host", **kw):
+        if shape is None or shape[0] != shape[1]:
+            raise ShapeError("symmetric matrix must be square")
+        if tile[0] != tile[1]:
+            raise ShapeError("symmetric matrix requires square tiles")
+        super().__init__(key=key, shape=shape, tile=tile, dtype=dtype, storage=storage, **kw)
+
+    def _canonical(self, i: int, j: int) -> Tuple[int, int, bool]:
+        if i >= j:
+            return i, j, False
+        return j, i, True
+
+    def get_block(self, i: int, j: int):
+        ci, cj, flip = self._canonical(i, j)
+        blk = super().get_block(ci, cj)
+        return blk.T if flip else blk
+
+    def put_block(self, arr, i: int, j: int):
+        ci, cj, flip = self._canonical(i, j)
+        blk = arr.T if flip else arr
+        super().put_block(blk, ci, cj)
+        if self.storage == "hbm" and ci != cj:
+            # mirror into the upper triangle so the flat array is truly symmetric
+            super().put_block(np.asarray(blk).T if isinstance(blk, np.ndarray) else blk.T, cj, ci)
+        return (ci, cj)
+
+    def block_exists(self, i: int, j: int) -> bool:
+        ci, cj, _ = self._canonical(i, j)
+        return super().block_exists(ci, cj)
+
+    def delete_block(self, i: int, j: int):
+        ci, cj, _ = self._canonical(i, j)
+        super().delete_block(ci, cj)
+        if self.storage == "hbm" and ci != cj:
+            super().delete_block(cj, ci)
+
+
+class TransposeView(_TiledBase):
+    """Zero-copy transpose view (BigMatrix.T analog)."""
+
+    def __init__(self, parent: _TiledBase):
+        self.parent = parent
+        self.key = parent.key + ".T"
+        self.shape = (parent.shape[1], parent.shape[0])
+        self.tile = (parent.tile[1], parent.tile[0])
+        self.dtype = parent.dtype
+
+    def get_block(self, i, j):
+        self._check_idx(i, j)
+        return self.parent.get_block(j, i).T
+
+    def put_block(self, arr, i, j):
+        self._check_idx(i, j)
+        return self.parent.put_block(arr.T, j, i)
+
+    def delete_block(self, i, j):
+        return self.parent.delete_block(j, i)
+
+    def block_exists(self, i, j):
+        return self.parent.block_exists(j, i)
+
+    @property
+    def T(self):
+        return self.parent
+
+
+class SubmatrixView(_TiledBase):
+    """Block-range view (BigMatrix.submatrix analog; block-index space)."""
+
+    def __init__(self, parent: _TiledBase, rows: range, cols: range):
+        self.parent = parent
+        self.rows = rows
+        self.cols = cols
+        self.key = f"{parent.key}[{rows.start}:{rows.stop},{cols.start}:{cols.stop}]"
+        self.tile = parent.tile
+        # logical shape: full tiles except possibly the parent's edge tiles
+        m = sum(parent.true_block_shape(i, cols.start)[0] for i in rows)
+        n = sum(parent.true_block_shape(rows.start, j)[1] for j in cols)
+        self.shape = (m, n)
+        self.dtype = parent.dtype
+
+    def _map(self, i, j):
+        return self.rows.start + i, self.cols.start + j
+
+    def get_block(self, i, j):
+        self._check_idx(i, j)
+        return self.parent.get_block(*self._map(i, j))
+
+    def put_block(self, arr, i, j):
+        self._check_idx(i, j)
+        return self.parent.put_block(arr, *self._map(i, j))
+
+    def delete_block(self, i, j):
+        return self.parent.delete_block(*self._map(i, j))
+
+    def block_exists(self, i, j):
+        return self.parent.block_exists(*self._map(i, j))

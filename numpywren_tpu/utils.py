@@ -1,0 +1,56 @@
+"""Small shared helpers (analog of numpywren/utils.py + matrix_utils.py).
+
+The reference's matrix_utils is mostly S3 key plumbing (list_all_keys,
+key_exists, generate_key_name_binop). Here keys are in-process names; the
+helpers that survive are name generation, index-space chunking, and
+rounding/padding math used everywhere in the tiled layer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+from typing import Iterable, Iterator, List, Sequence, Tuple
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+def chunk(seq: Sequence, size: int) -> Iterator[List]:
+    """Split a sequence into chunks of at most `size` (matrix_utils.chunk analog)."""
+    it = iter(seq)
+    while True:
+        block = list(itertools.islice(it, size))
+        if not block:
+            return
+        yield block
+
+
+def hash_key(*parts) -> str:
+    h = hashlib.sha1(repr(parts).encode()).hexdigest()[:16]
+    return h
+
+
+def generate_key_name_binop(a_key: str, b_key: str, op: str) -> str:
+    """Deterministic output name for a binary op (matrix_utils analog)."""
+    return f"{op}({a_key},{b_key})-{hash_key(a_key, b_key, op)}"
+
+
+def generate_key_name_uop(a_key: str, op: str) -> str:
+    return f"{op}({a_key})-{hash_key(a_key, op)}"
+
+
+def block_key(base: str, idx: Tuple[int, ...]) -> str:
+    """Per-block key codec (BigMatrix.__block_key__ analog)."""
+    return base + "/" + "_".join(str(i) for i in idx)
+
+
+def product_range(bounds: Iterable[Tuple[int, int]]) -> Iterator[Tuple[int, ...]]:
+    """Cartesian product over [lo, hi) ranges."""
+    ranges = [range(lo, hi) for lo, hi in bounds]
+    return itertools.product(*ranges)

@@ -1,0 +1,123 @@
+"""Tile-store unit tests (parity with reference tests/test_matrix.py:
+shard/get/put round trips, block_idxs, submatrix, transpose view, symmetric
+index remapping, numpy() materialization)."""
+
+import numpy as np
+import pytest
+
+from numpywren_tpu.exceptions import BlockNotFoundError
+from numpywren_tpu.matrix_init import shard_matrix, random_spd
+from numpywren_tpu.tiled import TiledMatrix, TiledSymmetricMatrix
+
+
+@pytest.mark.parametrize("storage", ["hbm", "host"])
+def test_shard_roundtrip(storage, rng):
+    a = rng.standard_normal((100, 70)).astype(np.float32)
+    m = shard_matrix(a, tile=(32, 32), storage=storage)
+    assert m.grid == (4, 3)
+    assert m.padded_shape == (128, 96)
+    np.testing.assert_array_equal(m.numpy(), a)
+
+
+@pytest.mark.parametrize("storage", ["hbm", "host"])
+def test_get_put_block(storage, rng):
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    m = shard_matrix(a, tile=(32, 32), storage=storage)
+    blk = np.asarray(m.get_block(1, 0))
+    np.testing.assert_array_equal(blk, a[32:64, 0:32])
+    new = np.ones((32, 32), dtype=np.float32)
+    m.put_block(new, 1, 0)
+    np.testing.assert_array_equal(np.asarray(m.get_block(1, 0)), new)
+    # other blocks untouched
+    np.testing.assert_array_equal(np.asarray(m.get_block(0, 0)), a[:32, :32])
+
+
+def test_edge_block_padding(rng):
+    a = rng.standard_normal((40, 40)).astype(np.float32)
+    m = shard_matrix(a, tile=(32, 32), storage="hbm")
+    blk = np.asarray(m.get_block(1, 1))
+    assert blk.shape == (32, 32)
+    np.testing.assert_array_equal(blk[:8, :8], a[32:, 32:])
+    np.testing.assert_array_equal(blk[8:, :], 0)
+    assert m.true_block_shape(1, 1) == (8, 8)
+
+
+def test_block_idxs_and_existence():
+    m = TiledMatrix(shape=(64, 64), tile=(32, 32), storage="host")
+    assert set(m.block_idxs) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert m.block_idxs_exist == []
+    m.put_block(np.zeros((32, 32), np.float32), 0, 1)
+    assert m.block_idxs_exist == [(0, 1)]
+    assert (0, 1) not in m.block_idxs_not_exist
+    m.delete_block(0, 1)
+    assert m.block_idxs_exist == []
+
+
+def test_parent_fn_lazy_alias(rng):
+    """Scratch matrices lazily alias their input via parent_fn (reference
+    matrix.py parent_fn semantics used by alg_wrappers for trailing state)."""
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    src = shard_matrix(a, tile=(32, 32), storage="host")
+    scratch = TiledMatrix(
+        shape=(64, 64), tile=(32, 32), storage="host",
+        parent_fn=lambda m, i, j: src.get_block(i, j),
+    )
+    np.testing.assert_array_equal(np.asarray(scratch.get_block(1, 1)), a[32:, 32:])
+    scratch.put_block(np.zeros((32, 32), np.float32), 1, 1)
+    np.testing.assert_array_equal(np.asarray(scratch.get_block(1, 1)), 0 * a[32:, 32:])
+
+
+def test_missing_block_raises():
+    m = TiledMatrix(shape=(64, 64), tile=(32, 32), storage="host")
+    with pytest.raises(BlockNotFoundError):
+        m.get_block(0, 0)
+
+
+@pytest.mark.parametrize("storage", ["hbm", "host"])
+def test_transpose_view(storage, rng):
+    a = rng.standard_normal((64, 96)).astype(np.float32)
+    m = shard_matrix(a, tile=(32, 32), storage=storage)
+    t = m.T
+    assert t.shape == (96, 64)
+    np.testing.assert_array_equal(t.numpy(), a.T)
+    np.testing.assert_array_equal(np.asarray(t.get_block(2, 1)), a[32:64, 64:96].T)
+    assert t.T is m
+
+
+def test_submatrix_view(rng):
+    a = rng.standard_normal((128, 128)).astype(np.float32)
+    m = shard_matrix(a, tile=(32, 32), storage="host")
+    s = m.submatrix(range(1, 3), range(2, 4))
+    assert s.shape == (64, 64)
+    np.testing.assert_array_equal(s.numpy(), a[32:96, 64:128])
+    s.put_block(np.zeros((32, 32), np.float32), 0, 0)
+    np.testing.assert_array_equal(np.asarray(m.get_block(1, 2)), 0)
+
+
+@pytest.mark.parametrize("storage", ["hbm", "host"])
+def test_symmetric_matrix(storage):
+    a = random_spd(96, seed=1)
+    m = shard_matrix(a, tile=(32, 32), storage=storage, symmetric=True)
+    if storage == "host":
+        # only the lower triangle is physically stored
+        assert all(i >= j for (i, j) in m._tiles)
+    np.testing.assert_allclose(np.asarray(m.get_block(0, 2)), a[0:32, 64:96], rtol=1e-6)
+    np.testing.assert_allclose(m.numpy(), a, rtol=1e-6)
+
+
+def test_tier_moves(rng):
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    host = shard_matrix(a, tile=(32, 32), storage="host")
+    hbm = host.to_hbm()
+    assert hbm.storage == "hbm"
+    np.testing.assert_array_equal(hbm.numpy(), a)
+    back = hbm.to_host()
+    assert back.storage == "host"
+    np.testing.assert_array_equal(back.numpy(), a)
+
+
+def test_free():
+    m = TiledMatrix(shape=(64, 64), tile=(32, 32), storage="hbm")
+    m.put_block(np.ones((32, 32), np.float32), 0, 0)
+    m.free()
+    assert m.block_idxs_exist == []
