@@ -1,0 +1,203 @@
+"""One-call algorithm entry points (analog of numpywren/alg_wrappers.py).
+
+Each wrapper allocates output/scratch TiledMatrices, compiles the DSL
+program, binds concrete tile-grid sizes, and returns
+(program, outputs-dict). `run_program` executes on the chosen executor.
+
+The reference wires scratch matrices to their inputs with parent_fn so
+unwritten blocks fall back to reading X (matrix.py parent_fn); the HBM path
+here materializes version 0 directly as a copy of the input array (one
+device copy), while the host/local path keeps the lazy parent_fn semantics.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple, Union
+
+import numpy as np
+
+from numpywren_tpu import algs
+from numpywren_tpu.exceptions import ShapeError
+from numpywren_tpu.frontend import lpcompile
+from numpywren_tpu.frontend.ir import BoundArg
+from numpywren_tpu.matrix_init import shard_matrix
+from numpywren_tpu.runtime.executor import run_program  # re-export
+from numpywren_tpu.tiled import TiledMatrix, _TiledBase
+from numpywren_tpu.utils import cdiv
+
+MatLike = Union[np.ndarray, _TiledBase]
+
+_templates: Dict[str, object] = {}
+
+
+def _template(name: str):
+    if name not in _templates:
+        _templates[name] = lpcompile(getattr(algs, name))
+    return _templates[name]
+
+
+def _as_tiled(x: MatLike, tile, storage: str, key=None) -> _TiledBase:
+    if isinstance(x, np.ndarray):
+        return shard_matrix(x, tile=tile, storage=storage, key=key)
+    return x
+
+
+def _default_tile(x: MatLike, tile) -> Tuple[int, int]:
+    if tile is not None:
+        return tile
+    if isinstance(x, np.ndarray):
+        t = min(512, *x.shape)
+        return (t, t)
+    return x.tile
+
+
+# ---------------------------------------------------------------------------
+# Cholesky
+# ---------------------------------------------------------------------------
+
+def cholesky(X: MatLike, tile=None, storage: str = "hbm", truncate: int = 0):
+    """Blocked Cholesky: returns (program, L_matrix, meta).
+
+    X: SPD matrix (ndarray or TiledMatrix). The scratch S holds the trailing
+    matrix; version 0 is X itself (copy on the HBM tier, lazy parent_fn
+    aliasing on the host tier — reference alg_wrappers.cholesky)."""
+    tile = _default_tile(X, tile)
+    if tile[0] != tile[1]:
+        raise ShapeError("cholesky requires square tiles")
+    x_t = _as_tiled(X, tile, storage)
+    if x_t.shape[0] != x_t.shape[1]:
+        raise ShapeError(f"cholesky requires a square matrix, got {x_t.shape}")
+    g = x_t.grid[0]
+
+    # upper-triangle blocks of L are never written: zeros fallback on the
+    # sparse host tier (the HBM tier is dense zero-filled already)
+    o = TiledMatrix(
+        key=x_t.key + ":chol_L", shape=x_t.shape, tile=tile, dtype=x_t.dtype, storage=storage,
+        parent_fn=None if storage == "hbm" else (lambda m, i, j: np.zeros(m.tile, m.dtype)),
+    )
+    if storage == "hbm":
+        s = TiledMatrix(key=x_t.key + ":chol_S", shape=x_t.shape, tile=tile, dtype=x_t.dtype,
+                        storage="hbm", fill=None)
+        arr = x_t.to_hbm().array if x_t.storage != "hbm" else x_t.array
+        arr = _identity_pad_diag(arr, x_t)
+        s.replace_array(arr)
+    else:
+        s = TiledMatrix(key=x_t.key + ":chol_S", shape=x_t.shape, tile=tile, dtype=x_t.dtype,
+                        storage="host", parent_fn=_spd_parent(x_t))
+
+    program = _template("cholesky").bind(
+        O=o, S=BoundArg(name="S", matrix=s, versioned=True), N=g, truncate=truncate
+    )
+    meta = {"input": x_t, "scratch": s, "tile": tile, "grid": g}
+    return program, o, meta
+
+
+def _identity_pad_diag(arr, x_t):
+    """If X was padded past its logical shape, put 1s on the padded diagonal
+    so padded potrf tiles stay SPD (factor of diag(A, I) = diag(L, I))."""
+    import jax.numpy as jnp
+
+    n_log = x_t.shape[0]
+    n_pad = x_t.padded_shape[0]
+    if n_pad == n_log:
+        return arr
+    pad_eye = jnp.zeros(arr.shape, arr.dtype).at[
+        jnp.arange(n_log, n_pad), jnp.arange(n_log, n_pad)
+    ].set(1.0)
+    return arr + pad_eye
+
+
+def _spd_parent(x_t):
+    def parent(m, i, j):
+        blk = np.asarray(x_t.get_block(i, j)).copy()
+        tm, tn = m.tile
+        bm, bn = m.true_block_shape(i, j)
+        if i == j and bm < tm:
+            for d in range(bm, tm):
+                blk[d, d] = 1.0
+        return blk
+
+    return parent
+
+
+# ---------------------------------------------------------------------------
+# GEMM
+# ---------------------------------------------------------------------------
+
+def gemm(A: MatLike, B: MatLike, tile=None, storage: str = "hbm"):
+    """Blocked GEMM: returns (program, C_matrix, meta) with C = A @ B."""
+    tile = _default_tile(A, tile)
+    a_t = _as_tiled(A, tile, storage)
+    b_t = _as_tiled(B, tile, storage)
+    if a_t.shape[1] != b_t.shape[0]:
+        raise ShapeError(f"gemm shape mismatch: {a_t.shape} @ {b_t.shape}")
+    if a_t.tile[1] != b_t.tile[0]:
+        raise ShapeError("gemm requires matching inner tile sizes")
+    m, k = a_t.grid
+    _, n = b_t.grid
+    c_tile = (a_t.tile[0], b_t.tile[1])
+    c_shape = (a_t.shape[0], b_t.shape[1])
+    if storage == "hbm":
+        c = TiledMatrix(key="gemm_C", shape=c_shape, tile=c_tile, dtype=a_t.dtype, storage="hbm", fill=0.0)
+    else:
+        c = TiledMatrix(key="gemm_C", shape=c_shape, tile=c_tile, dtype=a_t.dtype, storage="host",
+                        parent_fn=lambda mm, i, j: np.zeros(mm.tile, dtype=mm.dtype))
+    program = _template("gemm").bind(
+        A=a_t, B=b_t, C=BoundArg(name="C", matrix=c, versioned=True), M=m, N=n, K=k
+    )
+    return program, c, {"tile": tile, "grid": (m, n, k)}
+
+
+# ---------------------------------------------------------------------------
+# TSQR
+# ---------------------------------------------------------------------------
+
+def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm", compute_q: bool = False):
+    """Tall-skinny QR via binary tree reduction (reference alg_wrappers.tsqr).
+
+    X: (m, b) with m >> b; row blocks of `tile_rows` rows form the leaves.
+    Returns (program, outputs, meta) where outputs["R"] is the (b, b) final
+    R TiledMatrix view holder and outputs["Q"] (if compute_q) the explicit
+    (m, b) thin Q."""
+    if isinstance(X, np.ndarray):
+        m, b = X.shape
+        tile_rows = min(tile_rows, m)
+        a_t = shard_matrix(X, tile=(tile_rows, b), storage=storage)
+    else:
+        a_t = X
+        m, b = a_t.shape
+        tile_rows = a_t.tile[0]
+    if a_t.grid[1] != 1:
+        raise ShapeError("tsqr expects a single tile column (m x b, b == tile width)")
+    n_leaves = a_t.grid[0]
+    depth = max(1, math.ceil(math.log2(n_leaves))) if n_leaves > 1 else 0
+
+    def new(key, shape, tile):
+        return TiledMatrix(key=key, shape=shape, tile=tile, dtype=a_t.dtype, storage=storage,
+                           fill=0.0 if storage == "hbm" else None,
+                           parent_fn=None if storage == "hbm" else (lambda mm, i, j: np.zeros(mm.tile, mm.dtype)))
+
+    q0 = new("tsqr_Q0", (n_leaves * tile_rows, b), (tile_rows, b))
+    r = new("tsqr_R", (n_leaves * b, (depth + 1) * b), (b, b))
+    qt = new("tsqr_QT", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
+    qb = new("tsqr_QB", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
+
+    outputs = {"R": r, "R_block": (0, depth), "Q0": q0}
+    if compute_q:
+        z = new("tsqr_Z", (n_leaves * b, (depth + 1) * b), (b, b))
+        q = new("tsqr_Q", (n_leaves * tile_rows, b), (tile_rows, b))
+        program = _template("tsqr_q").bind(
+            A=a_t, Q0=q0, R=r, QT=qt, QB=qb, Z=z, Q=q, N=n_leaves, L=depth
+        )
+        outputs["Q"] = q
+    else:
+        program = _template("tsqr").bind(A=a_t, Q0=q0, R=r, QT=qt, QB=qb, N=n_leaves, L=depth)
+    meta = {"n_leaves": n_leaves, "depth": depth, "tile_rows": tile_rows, "b": b, "logical_m": m}
+    return program, outputs, meta
+
+
+def tsqr_r_factor(outputs) -> np.ndarray:
+    """Extract the final R as numpy (upper-triangular b x b)."""
+    i, l = outputs["R_block"]
+    return np.asarray(outputs["R"].get_block(i, l))

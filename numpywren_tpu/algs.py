@@ -1,0 +1,76 @@
+"""The blocked algorithms, written in the DSL (analog of numpywren/algs.py).
+
+Each function below is never executed as Python — lpcompile parses its
+source into loop-nest IR. Matrix arguments index *tiles*; versioned scratch
+matrices carry one extra trailing "version" index to stay single-assignment
+(the reference uses the same trick with its per-iteration trailing matrices,
+numpywren/alg_wrappers.py), and are lowered back onto in-place physical
+tiles by the schedule compiler.
+
+Conventions: N/M/K are tile-grid extents; L = ceil(log2(N)) tree depth.
+"""
+
+
+def cholesky(O, S, N, truncate):
+    """Right-looking blocked Cholesky (reference algs.cholesky).
+
+    S is versioned scratch aliasing the SPD input A at version 0:
+    S[i, j, k] = A[i,j] after k rounds of trailing updates. O gets the
+    lower factor. `truncate` runs only the first N - truncate iterations
+    (reference parity: supports prefix runs / resume)."""
+    for k in range(0, N - truncate):
+        O[k, k] = potrf(S[k, k, k])
+        for i in range(k + 1, N):
+            O[i, k] = trsm(S[i, k, k], O[k, k])
+        for i in range(k + 1, N):
+            for j in range(k + 1, i + 1):
+                S[i, j, k + 1] = syrk(S[i, j, k], O[i, k], O[j, k])
+
+
+def gemm(A, B, C, M, N, K):
+    """Blocked GEMM with serial accumulation per output tile
+    (reference algs.gemm). C is versioned scratch, zeros at version 0."""
+    for i in range(0, M):
+        for j in range(0, N):
+            for k in range(0, K):
+                C[i, j, k + 1] = gemm_acc(C[i, j, k], A[i, k], B[k, j])
+
+
+def tsqr(A, Q0, R, QT, QB, N, L):
+    """Tall-skinny QR, R-factor path (reference algs.tsqr + `reducer`).
+
+    Leaf QR per row block, then a binary combine tree of depth L; ragged
+    levels pass the odd R through. R[0, L] is the final R. QT/QB hold the
+    split combine-Q halves for reconstruction."""
+    for i in range(0, N):
+        Q0[i, 0], R[i, 0] = qr_leaf(A[i, 0])
+    for l in range(0, L):
+        for i in range(0, cdiv(N, 2 ** (l + 1))):
+            if 2 * i + 1 < cdiv(N, 2 ** l):
+                QT[i, l], QB[i, l], R[i, l + 1] = qr_combine(R[2 * i, l], R[2 * i + 1, l])
+            else:
+                R[i, l + 1] = copy(R[2 * i, l])
+
+
+def tsqr_q(A, Q0, R, QT, QB, Z, Q, N, L):
+    """TSQR with explicit Q: factor tree, then a downward sweep computing
+    Z[i, l] (the b x b transform from leaf i's local Q basis to the final
+    orthonormal basis), then Q[i] = Q0[i] @ Z[i, 0]."""
+    for i in range(0, N):
+        Q0[i, 0], R[i, 0] = qr_leaf(A[i, 0])
+    for l in range(0, L):
+        for i in range(0, cdiv(N, 2 ** (l + 1))):
+            if 2 * i + 1 < cdiv(N, 2 ** l):
+                QT[i, l], QB[i, l], R[i, l + 1] = qr_combine(R[2 * i, l], R[2 * i + 1, l])
+            else:
+                R[i, l + 1] = copy(R[2 * i, l])
+    Z[0, L] = identity(R[0, L])
+    for l in range(L - 1, -1, -1):
+        for i in range(0, cdiv(N, 2 ** (l + 1))):
+            if 2 * i + 1 < cdiv(N, 2 ** l):
+                Z[2 * i, l] = gemm(QT[i, l], Z[i, l + 1])
+                Z[2 * i + 1, l] = gemm(QB[i, l], Z[i, l + 1])
+            else:
+                Z[2 * i, l] = copy(Z[i, l + 1])
+    for i in range(0, N):
+        Q[i, 0] = gemm(Q0[i, 0], Z[i, 0])

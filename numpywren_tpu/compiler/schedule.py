@@ -1,0 +1,275 @@
+"""Enumerate a bound DSL program into a scheduled task DAG.
+
+Pipeline (all at compile/bind time — the reference does step 3 lazily per
+post_op at runtime, see SURVEY §3.4):
+
+1. walk the loop nest with concrete bounds, emitting one node per
+   KernelCall instance (node id = (stmt_id, loop-var values), exactly the
+   reference's (expr_idx, var_values) node identity);
+2. build the write map  (matrix, *block idx) -> writer node  and resolve
+   every read to its writer (RAW edges); unresolved reads become the
+   program's initial-input set;
+3. lower versioned scratch matrices onto in-place physical tiles, adding
+   write-after-read (WAR) edges so version v+1 may only overwrite (i, j)
+   after every reader of version v has run;
+4. Kahn-level the DAG: level(n) = 1 + max(level(parents)) — these wavefront
+   levels are the static schedule (each level is one SPMD step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+from numpywren_tpu import kernels
+from numpywren_tpu.exceptions import CompilationError
+from numpywren_tpu.frontend.ir import (
+    BlockRef,
+    BoundArg,
+    ConstRef,
+    ForLoop,
+    IfBlock,
+    KernelCall,
+    ProgramTemplate,
+)
+
+
+@dataclasses.dataclass
+class Node:
+    """One statement instance (the reference's DAG node / InstructionBlock)."""
+
+    node_id: int
+    stmt_id: int
+    op: str
+    var_values: Tuple[int, ...]
+    # physical addresses: (matrix_name, i, j)
+    reads: Tuple[Tuple, ...]       # block reads, physical
+    writes: Tuple[Tuple, ...]      # block writes, physical
+    consts: Tuple[int, ...]        # scalar args, in input position order
+    input_kinds: Tuple[str, ...]   # "block" | "const" per input position
+    read_versions: Tuple[Optional[int], ...] = ()
+    write_versions: Tuple[Optional[int], ...] = ()
+
+
+class ScheduledDAG:
+    """The compiled program: nodes + edges + wavefront levels + bindings."""
+
+    def __init__(self, template, matrices: Dict[str, BoundArg], consts: Dict[str, int]):
+        self.template = template
+        self.matrices = matrices
+        self.consts = consts
+        self.nodes: List[Node] = []
+        self.parents: List[List[int]] = []
+        self.children: List[List[int]] = []
+        self.levels: List[List[int]] = []
+        self.node_level: List[int] = []
+        self.initial_reads: set = set()
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.nodes)
+
+    def total_flops(self) -> int:
+        total = 0
+        for n in self.nodes:
+            shapes = [self.matrices[r[0]].matrix.tile for r in n.reads]
+            total += kernels.flop_count(n.op, shapes)
+        return total
+
+    def stats(self) -> Dict[str, Any]:
+        ops: Dict[str, int] = {}
+        for n in self.nodes:
+            ops[n.op] = ops.get(n.op, 0) + 1
+        return {
+            "nodes": self.num_nodes,
+            "levels": len(self.levels),
+            "edges": sum(len(p) for p in self.parents),
+            "ops": ops,
+            "flops": self.total_flops(),
+        }
+
+
+def compile_schedule(template: ProgramTemplate, bindings: Dict[str, Any]):
+    """bind + enumerate + DAG + levels; returns a runtime TiledProgram."""
+    matrices: Dict[str, BoundArg] = {}
+    consts: Dict[str, int] = {}
+    for name, val in bindings.items():
+        if name not in template.arg_names:
+            raise CompilationError(f"{template.name}: unknown argument {name!r}")
+        if isinstance(val, BoundArg):
+            val.name = name
+            matrices[name] = val
+        elif isinstance(val, (int,)):
+            consts[name] = int(val)
+        elif hasattr(val, "get_block"):
+            matrices[name] = BoundArg(name=name, matrix=val)
+        else:
+            raise CompilationError(f"argument {name!r}: expected TiledMatrix/BoundArg/int, got {type(val)}")
+    missing = set(template.arg_names) - set(matrices) - set(consts)
+    if missing:
+        raise CompilationError(f"{template.name}: unbound arguments {sorted(missing)}")
+
+    dag = ScheduledDAG(template, matrices, consts)
+    _enumerate(template.body, dict(consts), dag, matrices)
+    _resolve_edges(dag)
+    _level(dag)
+
+    from numpywren_tpu.runtime.program import TiledProgram
+
+    return TiledProgram(dag)
+
+
+# ---------------------------------------------------------------------------
+# Pass 1: enumeration
+# ---------------------------------------------------------------------------
+
+def _addr(ref: BlockRef, env, matrices) -> Tuple[Tuple, Optional[int]]:
+    """Evaluate a block ref to (physical addr, version). The version is the
+    trailing index of a versioned matrix (BoundArg.versioned)."""
+    ba = matrices.get(ref.matrix)
+    if ba is None:
+        raise CompilationError(f"reference to unbound matrix {ref.matrix!r}")
+    idxs = tuple(ix.eval(env) for ix in ref.idxs)
+    if ba.versioned:
+        if len(idxs) < 2:
+            raise CompilationError(f"{ref!r}: versioned matrix needs >= 2 indices + version")
+        phys = (ref.matrix,) + idxs[:-1]
+        return phys, idxs[-1]
+    return (ref.matrix,) + idxs, None
+
+
+def _enumerate(stmts, env, dag: ScheduledDAG, matrices):
+    for s in stmts:
+        if isinstance(s, ForLoop):
+            start = s.start.eval(env)
+            stop = s.stop.eval(env)
+            step = s.step.eval(env) if s.step is not None else 1
+            for v in range(start, stop, step):
+                env[s.var] = v
+                _enumerate(s.body, env, dag, matrices)
+            env.pop(s.var, None)
+        elif isinstance(s, IfBlock):
+            branch = s.body if s.cond.eval(env) else s.orelse
+            _enumerate(branch, env, dag, matrices)
+        elif isinstance(s, KernelCall):
+            reads, consts_args, kinds = [], [], []
+            rvers = []
+            for inp in s.inputs:
+                if isinstance(inp, ConstRef):
+                    consts_args.append(inp.expr.eval(env))
+                    kinds.append("const")
+                else:
+                    a, ver = _addr(inp, env, matrices)
+                    reads.append(a)
+                    rvers.append(ver)
+                    kinds.append("block")
+            writes, wvers = [], []
+            for out in s.outputs:
+                a, ver = _addr(out, env, matrices)
+                writes.append(a)
+                wvers.append(ver)
+            node = Node(
+                node_id=len(dag.nodes),
+                stmt_id=s.stmt_id,
+                op=s.op,
+                var_values=tuple(env[v] for v in s.loop_vars),
+                reads=tuple(reads),
+                writes=tuple(writes),
+                consts=tuple(consts_args),
+                input_kinds=tuple(kinds),
+                read_versions=tuple(rvers),
+                write_versions=tuple(wvers),
+            )
+            dag.nodes.append(node)
+        else:
+            raise CompilationError(f"unexpected IR node {s!r}")
+
+
+# ---------------------------------------------------------------------------
+# Pass 2: RAW edges from the write map (+ WAR edges for versioned reuse)
+# ---------------------------------------------------------------------------
+
+def _resolve_edges(dag: ScheduledDAG):
+    matrices = dag.matrices
+    # write map keyed on (phys addr, version) for versioned, (addr, None) else
+    write_map: Dict[Tuple, int] = {}
+    for n in dag.nodes:
+        for a, v in zip(n.writes, n.write_versions):
+            key = (a, v)
+            if key in write_map:
+                other = dag.nodes[write_map[key]]
+                raise CompilationError(
+                    f"double write to {a} (version {v}) by S{other.stmt_id}{other.var_values} "
+                    f"and S{n.stmt_id}{n.var_values}; programs must be single-assignment "
+                    f"(use a versioned scratch matrix)"
+                )
+            write_map[key] = n.node_id
+
+    n_nodes = len(dag.nodes)
+    parent_sets: List[set] = [set() for _ in range(n_nodes)]
+    readers_of: Dict[Tuple, List[int]] = {}
+
+    for n in dag.nodes:
+        for a, v in zip(n.reads, n.read_versions):
+            w = write_map.get((a, v))
+            if w is None:
+                # initial input: must pre-exist in physical storage
+                if v not in (None, 0) and matrices[a[0]].versioned:
+                    raise CompilationError(
+                        f"S{n.stmt_id}{n.var_values} reads {a} version {v}, which nothing writes"
+                    )
+                dag.initial_reads.add(a)
+            elif w == n.node_id:
+                raise CompilationError(
+                    f"S{n.stmt_id}{n.var_values} reads its own output {a}; use a versioned scratch"
+                )
+            else:
+                parent_sets[n.node_id].add(w)
+            if matrices[a[0]].versioned:
+                readers_of.setdefault((a, v), []).append(n.node_id)
+
+    # WAR: writer of (addr, v+1) must wait for all readers of (addr, v)
+    for n in dag.nodes:
+        for a, v in zip(n.writes, n.write_versions):
+            if v is None or v == 0:
+                continue
+            for r in readers_of.get((a, v - 1), ()):
+                if r != n.node_id:
+                    parent_sets[n.node_id].add(r)
+
+    dag.parents = [sorted(s) for s in parent_sets]
+    dag.children = [[] for _ in range(n_nodes)]
+    for nid, ps in enumerate(dag.parents):
+        for p in ps:
+            dag.children[p].append(nid)
+
+
+# ---------------------------------------------------------------------------
+# Pass 3: wavefront levels (Kahn)
+# ---------------------------------------------------------------------------
+
+def _level(dag: ScheduledDAG):
+    from collections import deque
+
+    n_nodes = len(dag.nodes)
+    indeg = [len(p) for p in dag.parents]
+    level = [0] * n_nodes
+    q = deque(i for i in range(n_nodes) if indeg[i] == 0)
+    seen = 0
+    while q:
+        nid = q.popleft()
+        seen += 1
+        for c in dag.children[nid]:
+            if level[nid] + 1 > level[c]:
+                level[c] = level[nid] + 1
+            indeg[c] -= 1
+            if indeg[c] == 0:
+                q.append(c)
+    if seen != n_nodes:
+        raise CompilationError("dependency cycle detected in tiled program")
+    n_levels = (max(level) + 1) if level else 0
+    levels: List[List[int]] = [[] for _ in range(n_levels)]
+    for nid, lv in enumerate(level):
+        levels[lv].append(nid)
+    dag.node_level = level
+    dag.levels = levels

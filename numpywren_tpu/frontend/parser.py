@@ -1,0 +1,155 @@
+"""DSL parser: restricted Python -> loop-nest IR (reference: lpcompile in
+numpywren/frontend.py, which also parses via the `ast` module).
+
+lpcompile accepts a function (or its source) whose body consists solely of
+`for ... in range(...)` loops, `if` blocks over index expressions, and
+(tuple-)assignments of registered kernels to matrix block refs.
+"""
+
+from __future__ import annotations
+
+import ast
+import inspect
+import textwrap
+from typing import List
+
+from numpywren_tpu import kernels
+from numpywren_tpu.exceptions import CompilationError
+from numpywren_tpu.frontend.ir import (
+    BlockRef,
+    ConstRef,
+    ForLoop,
+    IfBlock,
+    IndexExpr,
+    KernelCall,
+    LoopSpec,
+    ProgramTemplate,
+    Stmt,
+)
+
+
+def lpcompile(fn_or_source) -> ProgramTemplate:
+    """Parse a DSL function into a ProgramTemplate (compile-time half of the
+    reference's lpcompile; the schedule is built at bind() time)."""
+    if isinstance(fn_or_source, str):
+        source = textwrap.dedent(fn_or_source)
+    else:
+        source = textwrap.dedent(inspect.getsource(fn_or_source))
+    tree = ast.parse(source)
+    fndefs = [n for n in tree.body if isinstance(n, ast.FunctionDef)]
+    if len(fndefs) != 1:
+        raise CompilationError("lpcompile expects exactly one function definition")
+    fndef = fndefs[0]
+    arg_names = [a.arg for a in fndef.args.args]
+    parser = _Parser(arg_names)
+    body = parser.parse_block(fndef.body, loops=(), conds=())
+    return ProgramTemplate(fndef.name, arg_names, body, source)
+
+
+class _Parser:
+    def __init__(self, arg_names):
+        self.arg_names = set(arg_names)
+        self.stmt_counter = 0
+
+    def parse_block(self, nodes, loops, conds) -> List[Stmt]:
+        out: List[Stmt] = []
+        for node in nodes:
+            if isinstance(node, ast.For):
+                out.append(self.parse_for(node, loops, conds))
+            elif isinstance(node, ast.If):
+                out.append(self.parse_if(node, loops, conds))
+            elif isinstance(node, ast.Assign):
+                out.append(self.parse_assign(node, loops, conds))
+            elif isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
+                continue  # docstring
+            elif isinstance(node, ast.Pass):
+                continue
+            else:
+                raise CompilationError(
+                    f"unsupported statement at line {node.lineno}: {ast.dump(node)[:120]}"
+                )
+        return out
+
+    def parse_for(self, node: ast.For, loops, conds) -> ForLoop:
+        if not isinstance(node.target, ast.Name):
+            raise CompilationError(f"line {node.lineno}: loop target must be a name")
+        it = node.iter
+        if not (isinstance(it, ast.Call) and isinstance(it.func, ast.Name) and it.func.id == "range"):
+            raise CompilationError(f"line {node.lineno}: loops must iterate over range(...)")
+        args = [IndexExpr(a) for a in it.args]
+        if len(args) == 1:
+            start, stop, step = IndexExpr(ast.Constant(0)), args[0], None
+        elif len(args) == 2:
+            start, stop, step = args[0], args[1], None
+        elif len(args) == 3:
+            start, stop, step = args
+        else:
+            raise CompilationError(f"line {node.lineno}: range takes 1-3 args")
+        if node.orelse:
+            raise CompilationError(f"line {node.lineno}: for/else not supported")
+        var = node.target.id
+        spec = LoopSpec(var, start, stop, step)
+        body = self.parse_block(node.body, loops + (spec,), conds)
+        return ForLoop(var, start, stop, step, body)
+
+    def parse_if(self, node: ast.If, loops, conds) -> IfBlock:
+        cond = IndexExpr(node.test)
+        body = self.parse_block(node.body, loops, conds + ((cond, True),))
+        orelse = self.parse_block(node.orelse, loops, conds + ((cond, False),))
+        return IfBlock(cond, body, orelse)
+
+    def parse_assign(self, node: ast.Assign, loops, conds) -> KernelCall:
+        if len(node.targets) != 1:
+            raise CompilationError(f"line {node.lineno}: chained assignment not supported")
+        target = node.targets[0]
+        if isinstance(target, ast.Tuple):
+            out_nodes = target.elts
+        else:
+            out_nodes = [target]
+        outputs = tuple(self.parse_block_ref(t) for t in out_nodes)
+
+        call = node.value
+        if not (isinstance(call, ast.Call) and isinstance(call.func, ast.Name)):
+            raise CompilationError(f"line {node.lineno}: rhs must be a kernel call")
+        op = call.func.id
+        if op not in kernels.KERNELS:
+            raise CompilationError(f"line {node.lineno}: unknown kernel {op!r}")
+        n_out = kernels.N_OUTPUTS[op]
+        if len(outputs) != n_out:
+            raise CompilationError(
+                f"line {node.lineno}: kernel {op} produces {n_out} outputs, got {len(outputs)} targets"
+            )
+        if call.keywords:
+            raise CompilationError(f"line {node.lineno}: keyword args not supported in kernel calls")
+        inputs = []
+        for a in call.args:
+            if isinstance(a, ast.Subscript):
+                inputs.append(self.parse_block_ref(a))
+            else:
+                inputs.append(ConstRef(IndexExpr(a)))
+        kc = KernelCall(
+            stmt_id=self.stmt_counter,
+            op=op,
+            outputs=outputs,
+            inputs=tuple(inputs),
+            loop_vars=tuple(l.var for l in loops),
+            loops=loops,
+            conds=conds,
+        )
+        self.stmt_counter += 1
+        return kc
+
+    def parse_block_ref(self, node) -> BlockRef:
+        if not isinstance(node, ast.Subscript):
+            raise CompilationError(
+                f"line {getattr(node, 'lineno', '?')}: expected matrix[block index] reference"
+            )
+        if not isinstance(node.value, ast.Name):
+            raise CompilationError(f"line {node.lineno}: matrix must be a plain name")
+        mat = node.value.id
+        sl = node.slice
+        if isinstance(sl, ast.Tuple):
+            idxs = tuple(IndexExpr(e) for e in sl.elts)
+        else:
+            idxs = (IndexExpr(sl),)
+        return BlockRef(mat, idxs)

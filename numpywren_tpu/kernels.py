@@ -116,11 +116,17 @@ def qr_leaf(a: np.ndarray):
 
 
 def qr_combine(r_top: np.ndarray, r_bot: np.ndarray):
-    """QR of the stacked pair [R_top; R_bot]: returns (Q, R) with
-    Q: (2n, n), R: (n, n). TSQR tree-node kernel."""
+    """QR of the stacked pair [R_top; R_bot] (TSQR tree-node kernel).
+    Returns (Q_top, Q_bot, R), the two n x n halves of the combine Q split so
+    the DSL's Q-reconstruction sweep can address them as plain tiles."""
+    n = r_top.shape[0]
     stacked = np.vstack([np.asarray(r_top, np.float64), np.asarray(r_bot, np.float64)])
     q, r = np.linalg.qr(stacked)
-    return q.astype(r_top.dtype), r.astype(r_top.dtype)
+    return (
+        q[:n].astype(r_top.dtype),
+        q[n:].astype(r_top.dtype),
+        r.astype(r_top.dtype),
+    )
 
 
 def qr_r(a: np.ndarray) -> np.ndarray:
@@ -166,7 +172,7 @@ KERNELS = {
 
 # number of outputs per kernel (the DSL needs this for multi-assignment)
 N_OUTPUTS = {name: 1 for name in KERNELS}
-N_OUTPUTS.update({"qr_leaf": 2, "qr_combine": 2, "lq_leaf": 2})
+N_OUTPUTS.update({"qr_leaf": 2, "qr_combine": 3, "lq_leaf": 2})
 
 
 def flop_count(op: str, shapes) -> int:

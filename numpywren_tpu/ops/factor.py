@@ -40,9 +40,10 @@ def qr_leaf(a: jax.Array):
 
 @jax.jit
 def qr_combine(r_top: jax.Array, r_bot: jax.Array):
-    """QR of stacked [R_top; R_bot] (TSQR tree node): (Q, R)."""
+    """QR of stacked [R_top; R_bot] (TSQR tree node): (Q_top, Q_bot, R)."""
+    n = r_top.shape[0]
     q, r = jnp.linalg.qr(jnp.vstack([r_top, r_bot]), mode="reduced")
-    return q, r
+    return q[:n], q[n:], r
 
 
 @jax.jit

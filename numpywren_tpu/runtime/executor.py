@@ -1,0 +1,314 @@
+"""Executors: run a compiled TiledProgram.
+
+LocalExecutor — in-process rebuild of the reference worker loop
+(numpywren/job_runner.py :: lambdapack_run / LambdaPackExecutor): N threads
+stand in for Lambda workers, a shared queue for SQS, program CAS transitions
+for Redis. At-least-once delivery and idempotent writes are preserved, and
+fault injection (reference: lambdapack_run_with_failures) kills a fraction
+of tasks mid-flight to exercise redelivery + re-execution.
+
+JaxTaskExecutor — the TPU path: executes the static schedule level by level;
+within a level, instances of the same statement are batched into one stacked
+device op (tile gather -> batched kernel -> tile scatter), the whole run
+traced into a single jit. This is the generic lowering that works for ANY
+DSL program; the region-fused lowering in compiler.lower specializes
+contiguous tile regions into large unstacked MXU ops.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from numpywren_tpu import kernels
+from numpywren_tpu.exceptions import TiledProgramExecutionError
+from numpywren_tpu.runtime.program import NS, PS, TiledProgram
+
+
+# ---------------------------------------------------------------------------
+# Shared: execute one node with numpy kernels against TiledMatrix storage
+# ---------------------------------------------------------------------------
+
+def _node_args(program: TiledProgram, node):
+    args = []
+    r_it = iter(node.reads)
+    c_it = iter(node.consts)
+    for kind in node.input_kinds:
+        if kind == "block":
+            name, i, j = next(r_it)
+            args.append(np.asarray(program.matrices[name].matrix.get_block(i, j)))
+        else:
+            args.append(next(c_it))
+    return args
+
+
+def execute_node_numpy(program: TiledProgram, node_id: int):
+    node = program.node(node_id)
+    args = _node_args(program, node)
+    outs = kernels.KERNELS[node.op](*args)
+    if not isinstance(outs, tuple):
+        outs = (outs,)
+    for (name, i, j), out in zip(node.writes, outs):
+        program.matrices[name].matrix.put_block(out, i, j)
+
+
+# ---------------------------------------------------------------------------
+# LocalExecutor: dynamic queue semantics, threads, fault injection
+# ---------------------------------------------------------------------------
+
+class LocalExecutor:
+    def __init__(
+        self,
+        program: TiledProgram,
+        num_workers: int = 4,
+        fault_rate: float = 0.0,
+        seed: int = 0,
+        duplicate_rate: float = 0.0,
+    ):
+        self.program = program
+        self.num_workers = num_workers
+        self.fault_rate = fault_rate
+        self.duplicate_rate = duplicate_rate
+        self._rng = random.Random(seed)
+        self._rng_lock = threading.Lock()
+        self._q: "queue.Queue" = queue.Queue()
+        self._error: Optional[BaseException] = None
+
+    def _rand(self) -> float:
+        with self._rng_lock:
+            return self._rng.random()
+
+    def run(self, timeout: Optional[float] = None) -> PS:
+        roots = self.program.start()
+        for nid in roots:
+            self._q.put(nid)
+            if self._rand() < self.duplicate_rate:
+                self._q.put(nid)  # at-least-once delivery: duplicate message
+        workers = [
+            threading.Thread(target=self._worker_loop, name=f"npw-worker-{w}", daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for w in workers:
+            w.start()
+        status = self.program.wait(timeout=timeout)
+        for w in workers:
+            w.join(timeout=5.0)
+        if self._error is not None and status != PS.SUCCESS:
+            raise TiledProgramExecutionError("<worker>", self._error)
+        return status
+
+    def _worker_loop(self):
+        """The reference hot loop (SURVEY §3.2): dequeue -> CAS READY->RUNNING
+        -> read blocks -> kernel -> write blocks -> post_op -> enqueue
+        children. Losing the CAS race (duplicate delivery) drops the message."""
+        program = self.program
+        while program.program_status == PS.RUNNING:
+            try:
+                nid = self._q.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            if not program.cas_node_status(nid, NS.READY, NS.RUNNING):
+                continue  # another worker won the race; drop the message
+            try:
+                # fault injection: worker "dies" mid-task. The node goes back
+                # to READY and the message is redelivered (the in-process
+                # stand-in for an SQS visibility-timeout expiry).
+                if self._rand() < self.fault_rate:
+                    program.set_node_status(nid, NS.READY)
+                    self._q.put(nid)
+                    continue
+                execute_node_numpy(program, nid)
+            except BaseException as e:  # noqa: BLE001 - worker must report
+                self._error = e
+                program.post_op(nid, success=False)
+                return
+            for child in program.post_op(nid):
+                self._q.put(child)
+                if self._rand() < self.duplicate_rate:
+                    self._q.put(child)
+
+
+# ---------------------------------------------------------------------------
+# JaxTaskExecutor: static schedule, batched per-level device execution
+# ---------------------------------------------------------------------------
+
+def _batched_kernels(precision):
+    import jax.numpy as jnp
+    from jax import lax
+
+    def mm(a, b, ta=False, tb=False):
+        if ta:
+            a = jnp.swapaxes(a, -1, -2)
+        if tb:
+            b = jnp.swapaxes(b, -1, -2)
+        return jnp.matmul(a, b, precision=precision)
+
+    def qr_combine(rt, rb):
+        n = rt.shape[-2]
+        q, r = jnp.linalg.qr(jnp.concatenate([rt, rb], axis=-2), mode="reduced")
+        return q[..., :n, :], q[..., n:, :], r
+
+    def lq_leaf(a):
+        q, r = jnp.linalg.qr(jnp.swapaxes(a, -1, -2), mode="reduced")
+        return jnp.swapaxes(r, -1, -2), jnp.swapaxes(q, -1, -2)
+
+    def identity(a):
+        eye = jnp.eye(a.shape[-2], a.shape[-1], dtype=a.dtype)
+        return jnp.broadcast_to(eye, a.shape)
+
+    return {
+        "potrf": lambda a: lax.linalg.cholesky(a),
+        "trsm": lambda a, l: lax.linalg.triangular_solve(
+            l, a, left_side=False, lower=True, transpose_a=True
+        ),
+        "syrk": lambda s, x, y: s - mm(x, y, tb=True),
+        "gemm": mm,
+        "gemm_nt": lambda a, b: mm(a, b, tb=True),
+        "gemm_tn": lambda a, b: mm(a, b, ta=True),
+        "gemm_acc": lambda c, a, b: c + mm(a, b),
+        "add": lambda a, b: a + b,
+        "sub": lambda a, b: a - b,
+        "identity": identity,
+        "copy": lambda a: a,
+        "transpose": lambda a: jnp.swapaxes(a, -1, -2),
+        "qr_leaf": lambda a: jnp.linalg.qr(a, mode="reduced"),
+        "qr_combine": qr_combine,
+        "qr_r": lambda a: jnp.linalg.qr(a, mode="r"),
+        "lq_leaf": lq_leaf,
+        "small_qr_apply": lambda q, a: mm(q, a, ta=True),
+    }
+
+
+class JaxTaskExecutor:
+    """Run the wavefront schedule on device, one jit for the whole program.
+
+    Matrices are converted to tile stacks (n_tiles, Tm, Tn); each level's
+    statement groups become one gather -> batched-kernel -> scatter each.
+    Works for arbitrary DSL programs (the "generic" lowering).
+    """
+
+    def __init__(self, program: TiledProgram, precision=None, donate: bool = True):
+        self.program = program
+        self.precision = precision
+        self.donate = donate
+
+    def _materialize_initial_reads(self):
+        for addr in sorted(self.program.dag.initial_reads):
+            name, i, j = addr
+            m = self.program.matrices[name].matrix
+            if not m.block_exists(i, j):
+                m.get_block(i, j)  # parent_fn fallback populates the tier
+
+    def run(self) -> PS:
+        import jax
+        import jax.numpy as jnp
+
+        from numpywren_tpu.ops.common import default_precision
+
+        program = self.program
+        self._materialize_initial_reads()
+
+        mats = {}
+        for name, ba in program.matrices.items():
+            m = ba.matrix
+            if m.storage != "hbm":
+                m_hbm = m.to_hbm()
+                ba.matrix = m_hbm
+                m = m_hbm
+            mats[name] = m
+
+        precision = self.precision
+        if precision is None:
+            any_dtype = next(iter(mats.values())).dtype
+            precision = default_precision(any_dtype)
+
+        names = sorted(mats)
+        geom = {
+            name: (mats[name].grid, mats[name].tile, mats[name].padded_shape) for name in names
+        }
+        kers = _batched_kernels(precision)
+        levels = program.levels
+        nodes = program.dag.nodes
+
+        def to_stack(arr, name):
+            (gm, gn), (tm, tn), _ = geom[name]
+            return arr.reshape(gm, tm, gn, tn).transpose(0, 2, 1, 3).reshape(gm * gn, tm, tn)
+
+        def from_stack(st, name):
+            (gm, gn), (tm, tn), (pm, pn) = geom[name]
+            return st.reshape(gm, gn, tm, tn).transpose(0, 2, 1, 3).reshape(pm, pn)
+
+        def step_all(arrays: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+            stacks = {name: to_stack(arrays[name], name) for name in names}
+            for level in levels:
+                groups: Dict = {}
+                for nid in level:
+                    n = nodes[nid]
+                    groups.setdefault((n.stmt_id, n.consts), []).append(n)
+                for (_, consts), group in sorted(groups.items(), key=lambda kv: kv[0]):
+                    ins = []
+                    c_pos = 0
+                    n_blocks = len(group[0].reads)
+                    for pos, kind in enumerate(group[0].input_kinds):
+                        if kind == "const":
+                            ins.append(consts[c_pos])
+                            c_pos += 1
+                        else:
+                            b_pos = sum(1 for k in group[0].input_kinds[:pos] if k == "block")
+                            mname = group[0].reads[b_pos][0]
+                            gn_ = geom[mname][0][1]
+                            idx = jnp.asarray(
+                                [n.reads[b_pos][1] * gn_ + n.reads[b_pos][2] for n in group],
+                                dtype=jnp.int32,
+                            )
+                            ins.append(jnp.take(stacks[mname], idx, axis=0))
+                    outs = kers[group[0].op](*ins)
+                    if not isinstance(outs, tuple):
+                        outs = (outs,)
+                    for w_pos, out in enumerate(outs):
+                        mname = group[0].writes[w_pos][0]
+                        gn_ = geom[mname][0][1]
+                        idx = jnp.asarray(
+                            [n.writes[w_pos][1] * gn_ + n.writes[w_pos][2] for n in group],
+                            dtype=jnp.int32,
+                        )
+                        out = out.astype(stacks[mname].dtype)
+                        stacks[mname] = stacks[mname].at[idx].set(out)
+            return {name: from_stack(stacks[name], name) for name in names}
+
+        fn = jax.jit(step_all, donate_argnums=(0,) if self.donate else ())
+        arrays_in = {name: mats[name].array for name in names}
+        arrays_out = fn(arrays_in)
+        for name in names:
+            mats[name].replace_array(arrays_out[name])
+        # the static path completes atomically: mark program state for parity
+        program.start()
+        for nid in range(program.num_nodes):
+            program.node_status[nid] = NS.FINISHED
+        program._finished_count = program.num_nodes
+        program.program_status = PS.SUCCESS
+        return PS.SUCCESS
+
+
+def run_program(
+    program: TiledProgram,
+    executor: str = "auto",
+    num_workers: int = 4,
+    **kw,
+) -> PS:
+    """One-call execution (the alg_wrappers run helper).
+
+    executor: "jax" (static schedule on device), "local" (dynamic threaded
+    numpy runtime), or "auto" (jax when every matrix can live in HBM).
+    """
+    if executor == "auto":
+        executor = "jax"
+    if executor == "jax":
+        return JaxTaskExecutor(program, **kw).run()
+    if executor == "local":
+        return LocalExecutor(program, num_workers=num_workers, **kw).run()
+    raise ValueError(f"unknown executor {executor!r}")

@@ -200,6 +200,7 @@ class TiledMatrix(_TiledBase):
             jnp = _jnp()
             import jax
 
+            self._written = np.zeros(self.grid, dtype=bool)
             if fill is None:
                 self._data = None  # allocated lazily on first put
             else:
@@ -207,7 +208,9 @@ class TiledMatrix(_TiledBase):
                 if sharding is not None:
                     arr = jax.device_put(arr, sharding)
                 self._data = arr
-            self._written = np.zeros(self.grid, dtype=bool)
+                # dense semantics: an allocated fill-initialized array means
+                # every block exists (as `fill`), unlike the sparse host tier
+                self._written[:] = True
         elif storage == "host":
             self._tiles: Dict[Idx, np.ndarray] = {}
         else:

@@ -1,0 +1,140 @@
+"""Frontend/compiler tests: parse DSL, check loop bounds, access sets, and
+dependency sets against hand-computed values (reference tests/test_frontend
+pattern, SURVEY §4.4)."""
+
+import numpy as np
+import pytest
+
+from numpywren_tpu import algs
+from numpywren_tpu.exceptions import CompilationError
+from numpywren_tpu.frontend import lpcompile
+from numpywren_tpu.frontend.ir import BoundArg
+from numpywren_tpu.tiled import TiledMatrix
+
+
+def _mat(key, g, t=8, tile=None):
+    tile = tile or (t, t)
+    return TiledMatrix(key=key, shape=(g * tile[0], g * tile[1]), tile=tile, storage="host",
+                       parent_fn=lambda m, i, j: np.zeros(m.tile, m.dtype))
+
+
+def test_parse_cholesky():
+    t = lpcompile(algs.cholesky)
+    assert t.name == "cholesky"
+    assert [s.op for s in t.statements] == ["potrf", "trsm", "syrk"]
+    assert t.statements[2].loop_vars == ("k", "i", "j")
+
+
+def test_bind_counts_nodes():
+    g = 4
+    o, s = _mat("O", g), _mat("S", g)
+    prog = lpcompile(algs.cholesky).bind(O=o, S=BoundArg("S", s, versioned=True), N=g, truncate=0)
+    # potrf: g, trsm: g(g-1)/2, syrk: sum_{k} T(g-1-k) where T(m)=m(m+1)/2
+    n_potrf = g
+    n_trsm = g * (g - 1) // 2
+    n_syrk = sum((g - 1 - k) * (g - k) // 2 for k in range(g))
+    assert prog.num_nodes == n_potrf + n_trsm + n_syrk
+    stats = prog.dag.stats()
+    assert stats["ops"] == {"potrf": n_potrf, "trsm": n_trsm, "syrk": n_syrk}
+
+
+def test_cholesky_dependencies_hand_computed():
+    """Spot-check the DAG against hand-derived parents for G=3."""
+    g = 3
+    o, s = _mat("O", g), _mat("S", g)
+    prog = lpcompile(algs.cholesky).bind(O=o, S=BoundArg("S", s, versioned=True), N=g, truncate=0)
+    nodes = {(n.op, n.var_values): n.node_id for n in prog.dag.nodes}
+    # potrf(k=0) has no parents
+    assert prog.get_parents(nodes[("potrf", (0,))]) == []
+    # trsm(k=0, i=1) depends only on potrf(0)
+    assert prog.get_parents(nodes[("trsm", (0, 1))]) == [nodes[("potrf", (0,))]]
+    # syrk(k=0, i=1, j=1) reads O[1,0] twice -> parent trsm(0,1)
+    assert prog.get_parents(nodes[("syrk", (0, 1, 1))]) == [nodes[("trsm", (0, 1))]]
+    # potrf(k=1) reads S[1,1,1] -> parent syrk(0,1,1)
+    assert prog.get_parents(nodes[("potrf", (1,))]) == [nodes[("syrk", (0, 1, 1))]]
+    # syrk(1,2,2) parents: version chain WAR/RAW: syrk(0,2,2), trsm(1,2)
+    parents = set(prog.get_parents(nodes[("syrk", (1, 2, 2))]))
+    assert nodes[("syrk", (0, 2, 2))] in parents
+    assert nodes[("trsm", (1, 2))] in parents
+
+
+def test_wavefront_levels():
+    g = 3
+    o, s = _mat("O", g), _mat("S", g)
+    prog = lpcompile(algs.cholesky).bind(O=o, S=BoundArg("S", s, versioned=True), N=g, truncate=0)
+    lv = prog.dag.node_level
+    nodes = {(n.op, n.var_values): n.node_id for n in prog.dag.nodes}
+    assert lv[nodes[("potrf", (0,))]] == 0
+    assert lv[nodes[("trsm", (0, 2))]] == 1
+    assert lv[nodes[("syrk", (0, 2, 1))]] == 2
+    assert lv[nodes[("potrf", (1,))]] == 3
+    # critical path: 3 levels per iteration except last (potrf only)
+    assert len(prog.levels) == 3 * (g - 1) + 1
+
+
+def test_double_write_rejected():
+    src = """
+def bad(O, N):
+    for i in range(0, N):
+        O[0, 0] = identity(O[i, 0])
+"""
+    t = lpcompile(src)
+    with pytest.raises(CompilationError, match="double write"):
+        t.bind(O=_mat("O", 2), N=2)
+
+
+def test_self_read_rejected():
+    src = """
+def bad(O, N):
+    for i in range(0, N):
+        O[i, 0] = identity(O[i, 0])
+"""
+    t = lpcompile(src)
+    with pytest.raises(CompilationError, match="reads its own output"):
+        t.bind(O=_mat("O", 2), N=2)
+
+
+def test_unknown_kernel_rejected():
+    src = """
+def bad(O):
+    O[0, 0] = frobnicate(O[0, 1])
+"""
+    with pytest.raises(CompilationError, match="unknown kernel"):
+        lpcompile(src)
+
+
+def test_unbound_arg_rejected():
+    t = lpcompile(algs.cholesky)
+    with pytest.raises(CompilationError, match="unbound"):
+        t.bind(N=2, truncate=0)
+
+
+def test_truncate_prefix():
+    g = 4
+    o, s = _mat("O", g), _mat("S", g)
+    full = lpcompile(algs.cholesky).bind(O=o, S=BoundArg("S", s, versioned=True), N=g, truncate=0)
+    o2, s2 = _mat("O", g), _mat("S", g)
+    pre = lpcompile(algs.cholesky).bind(O=o2, S=BoundArg("S", s2, versioned=True), N=g, truncate=2)
+    assert pre.num_nodes < full.num_nodes
+    ks = {n.var_values[0] for n in pre.dag.nodes}
+    assert ks == {0, 1}
+
+
+def test_nonaffine_tree_enumeration():
+    """The TSQR tree (2**l bounds) enumerates concretely — beyond the
+    reference's affine-only solver."""
+    t = lpcompile(algs.tsqr)
+    n, depth = 5, 3
+    a = _mat("A", 1, tile=(16, 8))
+    a = TiledMatrix(key="A", shape=(n * 16, 8), tile=(16, 8), storage="host",
+                    parent_fn=lambda m, i, j: np.zeros(m.tile, m.dtype))
+    q0 = TiledMatrix(key="Q0", shape=(n * 16, 8), tile=(16, 8), storage="host")
+    r = TiledMatrix(key="R", shape=(n * 8, (depth + 1) * 8), tile=(8, 8), storage="host")
+    qt = TiledMatrix(key="QT", shape=(3 * 8, depth * 8), tile=(8, 8), storage="host")
+    qb = TiledMatrix(key="QB", shape=(3 * 8, depth * 8), tile=(8, 8), storage="host")
+    prog = t.bind(A=a, Q0=q0, R=r, QT=qt, QB=qb, N=n, L=depth)
+    ops = prog.dag.stats()["ops"]
+    assert ops["qr_leaf"] == 5
+    # level 0: 2 combines (0+1, 2+3) + 1 passthrough(4); level 1: 1 combine + 1 pass; level 2: 1 combine
+    assert ops["qr_combine"] == 4
+    assert ops["copy"] == 2

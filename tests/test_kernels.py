@@ -45,9 +45,9 @@ def test_qr_leaf_combine():
     assert np.allclose(np.tril(r, -1), 0)
 
     r2 = kernels.qr_r(rng.standard_normal((128, 32)).astype(np.float32))
-    qc, rc = kernels.qr_combine(r, r2)
-    assert qc.shape == (64, 32) and rc.shape == (32, 32)
-    np.testing.assert_allclose(qc @ rc, np.vstack([r, r2]), rtol=1e-4, atol=1e-4)
+    qt, qb, rc = kernels.qr_combine(r, r2)
+    assert qt.shape == (32, 32) and qb.shape == (32, 32) and rc.shape == (32, 32)
+    np.testing.assert_allclose(np.vstack([qt, qb]) @ rc, np.vstack([r, r2]), rtol=1e-4, atol=1e-4)
 
 
 def test_lq_leaf():

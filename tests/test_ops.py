@@ -89,8 +89,11 @@ def test_qr_family(rng):
     np.testing.assert_allclose(q.T @ q, np.eye(64), atol=1e-3)
 
     r2 = np.asarray(ops.qr_r(rng.standard_normal((256, 64)).astype(np.float32)))
-    qc, rc = ops.qr_combine(r, r2)
-    np.testing.assert_allclose(np.asarray(qc) @ np.asarray(rc), np.vstack([r, r2]), rtol=1e-3, atol=1e-3)
+    qt, qb, rc = ops.qr_combine(r, r2)
+    np.testing.assert_allclose(
+        np.vstack([np.asarray(qt), np.asarray(qb)]) @ np.asarray(rc),
+        np.vstack([r, r2]), rtol=1e-3, atol=1e-3,
+    )
 
     l, qq = ops.lq_leaf(a.T.copy())
     np.testing.assert_allclose(np.asarray(l) @ np.asarray(qq), a.T, rtol=1e-3, atol=1e-3)
