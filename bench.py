@@ -1,0 +1,224 @@
+"""Benchmark harness: prints ONE JSON line for the driver.
+
+Flagship metric (BASELINE.json): blocked Cholesky TFLOP/s on the real chip,
+reported as a fraction of the 70%-of-peak target, where "peak" is the
+MEASURED dense-matmul speed-of-light at the same dtype/precision on the same
+chip (so vs_baseline is an honest %-of-attainable number regardless of which
+TPU generation the driver runs on).
+
+Timing notes: the axon tunnel's block_until_ready does not reliably wait for
+device completion and a host round trip costs ~1s, so everything is timed by
+SLOPE — run k1 and k2 chained iterations (each iteration data-depends on the
+previous result so they serialize) with one scalar fetch at the end, and
+divide the time difference by (k2 - k1). Fixed dispatch/fetch costs cancel.
+
+Usage: python bench.py [--alg cholesky|gemm|tsqr] [--n N] [--tile T]
+                       [--dtype float32|bfloat16] [--precision default|highest]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def fetch_scalar(x) -> float:
+    """Force completion of everything `x` depends on; return it."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    return float(np.asarray(x.astype(jnp.float32)))
+
+
+def slope_time(run_chain, k1: int, k2: int) -> float:
+    """Seconds per iteration via two-point slope (run_chain(k) must execute k
+    serialized iterations and block until done)."""
+    run_chain(1)  # warmup / compile
+    t0 = time.perf_counter()
+    run_chain(k1)
+    t1 = time.perf_counter()
+    run_chain(k2)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+
+
+def measure_matmul_peak(dtype, precision, n: int = 4096) -> float:
+    """Measured dense-matmul speed-of-light (TFLOP/s) at dtype/precision."""
+    import jax
+    import jax.numpy as jnp
+
+    x = (jax.random.normal(jax.random.PRNGKey(0), (n, n)) * 0.01).astype(dtype)
+
+    @jax.jit
+    def mm(a, b):
+        return jnp.tanh(jnp.dot(a, b, precision=precision))
+
+    def chain(k):
+        y = x
+        for _ in range(k):
+            y = mm(y, x)
+        fetch_scalar(y[0, 0])
+
+    per = slope_time(chain, 4, 16)
+    return 2 * n**3 / per / 1e12
+
+
+def bench_cholesky(n, tile, dtype, precision, super_panel):
+    import jax
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import fused_cholesky_fn
+
+    log(f"cholesky: n={n} tile={tile} dtype={dtype} precision={precision}")
+    # SPD input generated on device (avoid a GiB-scale tunnel transfer)
+    x = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
+    a = (jnp.matmul(x, x.T, precision=jax.lax.Precision.DEFAULT) / n
+         + 2.0 * jnp.eye(n, dtype=jnp.float32)).astype(dtype)
+    a.block_until_ready()
+
+    body = fused_cholesky_fn(n, tile, super_panel=super_panel,
+                             precision=precision, dtype=dtype)
+    diag = jnp.arange(n)
+
+    @jax.jit
+    def step(a, t):
+        # t is a scalar from the previous factor: serializes the chain and
+        # perturbs the input negligibly (defeats any result reuse)
+        return body(a.at[diag, diag].add(t))
+
+    def chain(k):
+        t = jnp.zeros((), dtype)
+        l = None
+        for _ in range(k):
+            l = step(a, t)
+            t = (l[0, 0] * 1e-30).astype(dtype)
+        fetch_scalar(l[0, 0])
+
+    per = slope_time(chain, 2, 6)
+    flops = n**3 / 3
+    tflops = flops / per / 1e12
+    # on-device residual: ||A - L L^T||_F / ||A||_F
+    l = step(a, jnp.zeros((), dtype))
+    lf = l.astype(jnp.float32)
+    resid = fetch_scalar(
+        jnp.linalg.norm(a.astype(jnp.float32) - jnp.matmul(lf, lf.T))
+        / jnp.linalg.norm(a.astype(jnp.float32))
+    )
+    log(f"per-factorization: {per*1e3:.1f} ms  residual: {resid:.3e}")
+    return tflops, per, {"residual_fro": resid}
+
+
+def bench_gemm(n, tile, dtype, precision, super_panel):
+    import jax
+    import jax.numpy as jnp
+
+    from numpywren_tpu.ops.gemm import matmul
+
+    log(f"gemm: n={n} tile={tile} dtype={dtype} precision={precision}")
+    a = (jax.random.normal(jax.random.PRNGKey(1), (n, n)) * 0.01).astype(dtype)
+
+    @jax.jit
+    def step(x, y):
+        return matmul(x, y, bm=tile, bn=tile, bk=tile, precision=precision)
+
+    def chain(k):
+        y = a
+        for _ in range(k):
+            y = step(y, a)
+        fetch_scalar(y[0, 0])
+
+    per = slope_time(chain, 3, 9)
+    return 2 * n**3 / per / 1e12, per, {}
+
+
+def bench_tsqr(n, tile, dtype, precision, super_panel):
+    import jax
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import fused_tsqr_fn
+
+    b = 512
+    rows = n  # n = total rows
+    n_leaves = max(1, rows // tile)
+    rows = n_leaves * tile
+    log(f"tsqr: {rows}x{b}, {n_leaves} leaves of {tile} rows")
+    a = (jax.random.normal(jax.random.PRNGKey(1), (rows, b)) * 0.1).astype(dtype)
+    body = fused_tsqr_fn(n_leaves, tile, b, precision=precision, dtype=dtype)
+
+    @jax.jit
+    def step(x, t):
+        return body(x + t)
+
+    def chain(k):
+        t = jnp.zeros((), dtype)
+        r = None
+        for _ in range(k):
+            r = step(a, t)
+            t = (r[0, 0] * 1e-30).astype(dtype)
+        fetch_scalar(r[0, 0])
+
+    per = slope_time(chain, 2, 6)
+    flops = 2 * rows * b * b  # leaf QRs dominate
+    return flops / per / 1e12, per, {"rows": rows, "cols": b}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--alg", default="cholesky", choices=["cholesky", "gemm", "tsqr"])
+    p.add_argument("--n", type=int, default=None)
+    p.add_argument("--tile", type=int, default=None)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--precision", default="default", choices=["default", "highest"])
+    p.add_argument("--super-panel", type=int, default=4)
+    p.add_argument("--target-frac", type=float, default=0.70,
+                   help="BASELINE.json north-star fraction of peak")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.device_kind} ({dev.platform})")
+    on_tpu = dev.platform == "tpu"
+
+    defaults = {
+        "cholesky": (16384 if on_tpu else 512, 1024 if on_tpu else 128),
+        "gemm": (8192 if on_tpu else 1024, 512),
+        "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
+    }
+    n = args.n or defaults[args.alg][0]
+    tile = args.tile or defaults[args.alg][1]
+    dtype = jnp.dtype(args.dtype)
+    precision = (jax.lax.Precision.HIGHEST if args.precision == "highest"
+                 else jax.lax.Precision.DEFAULT)
+
+    peak = measure_matmul_peak(dtype, precision)
+    log(f"measured matmul speed-of-light: {peak:.1f} TFLOP/s")
+
+    fn = {"cholesky": bench_cholesky, "gemm": bench_gemm, "tsqr": bench_tsqr}[args.alg]
+    tflops, per, extra = fn(n, tile, dtype, precision, args.super_panel)
+
+    frac_peak = tflops / peak
+    vs_baseline = frac_peak / args.target_frac
+    out = {
+        "metric": f"{args.alg}_n{n}_{args.dtype}_{args.precision}_tflops",
+        "value": round(tflops, 2),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "frac_of_matmul_peak": round(frac_peak, 4),
+        "matmul_peak_tflops": round(peak, 1),
+        "seconds_per_run": round(per, 4),
+        "device": dev.device_kind,
+        **extra,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -46,9 +46,9 @@ def __getattr__(name):
 
         return getattr(alg_wrappers, name)
     if name == "binops":
-        from numpywren_tpu import binops
+        import importlib
 
-        return binops
+        return importlib.import_module("numpywren_tpu.binops")
     if name == "lpcompile":
         from numpywren_tpu.frontend import lpcompile
 

@@ -286,12 +286,18 @@ class JaxTaskExecutor:
         for name in names:
             mats[name].replace_array(arrays_out[name])
         # the static path completes atomically: mark program state for parity
-        program.start()
-        for nid in range(program.num_nodes):
-            program.node_status[nid] = NS.FINISHED
-        program._finished_count = program.num_nodes
-        program.program_status = PS.SUCCESS
+        _mark_success(program)
         return PS.SUCCESS
+
+
+def _mark_success(program: TiledProgram):
+    """Fused lowerings complete atomically; sync the state machine (parity
+    with the node-level path so wait()/get_node_status keep working)."""
+    program.start()
+    for nid in range(program.num_nodes):
+        program.node_status[nid] = NS.FINISHED
+    program._finished_count = program.num_nodes
+    program.program_status = PS.SUCCESS
 
 
 def run_program(
@@ -302,10 +308,25 @@ def run_program(
 ) -> PS:
     """One-call execution (the alg_wrappers run helper).
 
-    executor: "jax" (static schedule on device), "local" (dynamic threaded
-    numpy runtime), or "auto" (jax when every matrix can live in HBM).
+    executor:
+      - "fused": region-fused lowering (compiler.lower) — flagship programs
+        as a handful of large MXU ops; errors if no specialization exists.
+      - "jax": generic static schedule on device (works for any program).
+      - "local": dynamic threaded numpy runtime (reference job_runner parity).
+      - "auto": fused when available, else jax.
     """
-    if executor == "auto":
+    if executor in ("auto", "fused"):
+        from numpywren_tpu.compiler.lower import lower_fused
+
+        fn = lower_fused(program)
+        if fn is not None:
+            fn()
+            _mark_success(program)
+            return PS.SUCCESS
+        if executor == "fused":
+            raise ValueError(
+                f"no fused lowering for program {program.dag.template.name!r}"
+            )
         executor = "jax"
     if executor == "jax":
         return JaxTaskExecutor(program, **kw).run()
