@@ -197,6 +197,68 @@ def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm", compute_q: boo
     return program, outputs, meta
 
 
+# ---------------------------------------------------------------------------
+# BDFAC (block bidiagonalization)
+# ---------------------------------------------------------------------------
+
+def bdfac(X: MatLike, tile=None, storage: str = "hbm"):
+    """Block bidiagonalization: returns (program, B_matrix, meta).
+
+    B is block upper bidiagonal with the same singular values as X
+    (orthogonal QR/LQ sweeps — reference alg_wrappers.bdfac). Requires a
+    square tile grid."""
+    tile = _default_tile(X, tile)
+    if tile[0] != tile[1]:
+        raise ShapeError("bdfac requires square tiles")
+    x_t = _as_tiled(X, tile, storage)
+    gm, gn = x_t.grid
+    if gm != gn:
+        raise ShapeError(f"bdfac requires a square tile grid, got {x_t.grid}")
+    n = gm
+    t = tile[0]
+    dt = x_t.dtype
+
+    def new(key, grid):
+        return TiledMatrix(
+            key=x_t.key + ":" + key, shape=(grid[0] * t, grid[1] * t), tile=tile,
+            dtype=dt, storage=storage,
+            fill=0.0 if storage == "hbm" else None,
+            parent_fn=None if storage == "hbm" else (lambda m, i, j: np.zeros(m.tile, m.dtype)),
+        )
+
+    # S starts as a copy of X (version 0); sweeps rewrite it in place
+    if storage == "hbm":
+        s = TiledMatrix(key=x_t.key + ":bd_S", shape=x_t.shape, tile=tile, dtype=dt,
+                        storage="hbm", fill=None)
+        s.replace_array(x_t.to_hbm().array if x_t.storage != "hbm" else x_t.array)
+    else:
+        s = TiledMatrix(key=x_t.key + ":bd_S", shape=x_t.shape, tile=tile, dtype=dt,
+                        storage="host",
+                        parent_fn=lambda m, i, j: np.asarray(x_t.get_block(i, j)))
+
+    b = new("bd_B", (n, n))
+    scr = {
+        "RA": new("bd_RA", (n, 1)), "LA": new("bd_LA", (n, 1)),
+        "CA": new("bd_CA", (n, n)), "DA": new("bd_DA", (n, n)),
+    }
+    for q in ("QTT", "QTB", "QBT", "QBB", "PTT", "PTB", "PBT", "PBB"):
+        scr[q] = new("bd_" + q, (n, n))
+
+    program = _template("bdfac").bind(
+        S=BoundArg(name="S", matrix=s, versioned=True),
+        B=b,
+        RA=BoundArg(name="RA", matrix=scr["RA"], versioned=True),
+        CA=BoundArg(name="CA", matrix=scr["CA"], versioned=True),
+        LA=BoundArg(name="LA", matrix=scr["LA"], versioned=True),
+        DA=BoundArg(name="DA", matrix=scr["DA"], versioned=True),
+        QTT=scr["QTT"], QTB=scr["QTB"], QBT=scr["QBT"], QBB=scr["QBB"],
+        PTT=scr["PTT"], PTB=scr["PTB"], PBT=scr["PBT"], PBB=scr["PBB"],
+        N=n,
+    )
+    meta = {"input": x_t, "scratch": scr, "tile": tile, "grid": n}
+    return program, b, meta
+
+
 def tsqr_r_factor(outputs) -> np.ndarray:
     """Extract the final R as numpy (upper-triangular b x b)."""
     i, l = outputs["R_block"]

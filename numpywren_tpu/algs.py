@@ -52,6 +52,50 @@ def tsqr(A, Q0, R, QT, QB, N, L):
                 R[i, l + 1] = copy(R[2 * i, l])
 
 
+def bdfac(S, B, RA, CA, LA, DA, QTT, QTB, QBT, QBB, PTT, PTB, PBT, PBB, N):
+    """Block bidiagonalization by alternating QR / LQ sweeps (reference
+    algs.bdfac). Orthogonal transforms preserve singular values, so B (block
+    upper bidiagonal: diagonal blocks from the column-QR sweeps, superdiagonal
+    blocks from the row-LQ sweeps) has the singular values of the input.
+
+    Flat-tree panels: a running accumulator absorbs one tile at a time with
+    full-Q pairwise kernels (qr_factor2/lq_factor2); trailing tiles update by
+    qr_apply2/lq_apply2 gemms. S is versioned: version 2k+1 = after column
+    sweep k, 2k+2 = after row sweep k. RA/LA carry the panel accumulator,
+    CA/DA the trailing-update carry; Q**/P** store the pairwise Q blocks."""
+    for k in range(0, N):
+        if k < N - 1:
+            RA[k, 0, k] = copy(S[k, k, 2 * k])
+            for i in range(k + 1, N):
+                QTT[i, k], QTB[i, k], QBT[i, k], QBB[i, k], RA[k, 0, i] = qr_factor2(RA[k, 0, i - 1], S[i, k, 2 * k])
+            S[k, k, 2 * k + 1] = copy(RA[k, 0, N - 1])
+            for j in range(k + 1, N):
+                CA[k, j, k] = copy(S[k, j, 2 * k])
+                for i in range(k + 1, N):
+                    CA[k, j, i], S[i, j, 2 * k + 1] = qr_apply2(QTT[i, k], QTB[i, k], QBT[i, k], QBB[i, k], CA[k, j, i - 1], S[i, j, 2 * k])
+                S[k, j, 2 * k + 1] = copy(CA[k, j, N - 1])
+        else:
+            S[k, k, 2 * k + 1] = qr_r(S[k, k, 2 * k])
+        if k < N - 2:
+            LA[k, 0, k + 1] = copy(S[k, k + 1, 2 * k + 1])
+            for j in range(k + 2, N):
+                PTT[j, k], PTB[j, k], PBT[j, k], PBB[j, k], LA[k, 0, j] = lq_factor2(LA[k, 0, j - 1], S[k, j, 2 * k + 1])
+            S[k, k + 1, 2 * k + 2] = copy(LA[k, 0, N - 1])
+            for i in range(k + 1, N):
+                DA[k, i, k + 1] = copy(S[i, k + 1, 2 * k + 1])
+                for j in range(k + 2, N):
+                    DA[k, i, j], S[i, j, 2 * k + 2] = lq_apply2(PTT[j, k], PTB[j, k], PBT[j, k], PBB[j, k], DA[k, i, j - 1], S[i, j, 2 * k + 1])
+                S[i, k + 1, 2 * k + 2] = copy(DA[k, i, N - 1])
+        if k == N - 2:
+            S[k, k + 1, 2 * k + 2] = copy(S[k, k + 1, 2 * k + 1])
+            for i in range(k + 1, N):
+                S[i, k + 1, 2 * k + 2] = copy(S[i, k + 1, 2 * k + 1])
+    for k in range(0, N):
+        B[k, k] = copy(S[k, k, 2 * k + 1])
+    for k in range(0, N - 1):
+        B[k, k + 1] = copy(S[k, k + 1, 2 * k + 2])
+
+
 def tsqr_q(A, Q0, R, QT, QB, Z, Q, N, L):
     """TSQR with explicit Q: factor tree, then a downward sweep computing
     Z[i, l] (the b x b transform from leaf i's local Q basis to the final

@@ -146,6 +146,68 @@ def small_qr_apply(q: np.ndarray, a: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Full-Q pairwise kernels (BDFAC block bidiagonalization; the reference's
+# bdfac sweeps alternate panel QR and LQ — numpywren/algs.py bdfac,
+# kernels.qr_factor/lq_factor. We use the flat-tree form: absorb one tile
+# into a running accumulator per step, keeping the FULL 2T x 2T orthogonal
+# factor as four T x T blocks so trailing tiles update by plain gemms.)
+# --------------------------------------------------------------------------
+
+def qr_factor2(top: np.ndarray, bot: np.ndarray):
+    """Complete QR of the stacked pair [top; bot] (2T x T).
+
+    Returns (qtt, qtb, qbt, qbb, r): the four T x T blocks of the full
+    orthogonal Q (2T x 2T) and the T x T upper-triangular R, so that
+    [top; bot] = Q @ [r; 0]."""
+    t = top.shape[0]
+    stacked = np.vstack([np.asarray(top, np.float64), np.asarray(bot, np.float64)])
+    q, r = np.linalg.qr(stacked, mode="complete")
+    dt = top.dtype
+    return (
+        q[:t, :t].astype(dt), q[:t, t:].astype(dt),
+        q[t:, :t].astype(dt), q[t:, t:].astype(dt),
+        r[:t].astype(dt),
+    )
+
+
+def qr_apply2(qtt, qtb, qbt, qbb, yt, yb):
+    """Apply Q^T (from qr_factor2) to the stacked pair [yt; yb]:
+    returns (yt', yb') = Q^T [yt; yb] blockwise."""
+    qtt, qtb, qbt, qbb = (np.asarray(x, np.float64) for x in (qtt, qtb, qbt, qbb))
+    yt64, yb64 = np.asarray(yt, np.float64), np.asarray(yb, np.float64)
+    new_t = qtt.T @ yt64 + qbt.T @ yb64
+    new_b = qtb.T @ yt64 + qbb.T @ yb64
+    return new_t.astype(yt.dtype), new_b.astype(yb.dtype)
+
+
+def lq_factor2(left: np.ndarray, right: np.ndarray):
+    """Complete LQ of the side-by-side pair [left right] (T x 2T).
+
+    Returns (qtt, qtb, qbt, qbb, l): blocks of the full orthogonal Q
+    (2T x 2T) and lower-triangular L with [left right] = [l 0] @ Q."""
+    t = left.shape[0]
+    a_t = np.hstack([np.asarray(left, np.float64), np.asarray(right, np.float64)]).T
+    qc, rc = np.linalg.qr(a_t, mode="complete")  # A^T = Qc Rc => A = Rc^T Qc^T
+    q = qc.T  # (2T x 2T), A = [L 0] @ q
+    dt = left.dtype
+    return (
+        q[:t, :t].astype(dt), q[:t, t:].astype(dt),
+        q[t:, :t].astype(dt), q[t:, t:].astype(dt),
+        rc[:t].T.astype(dt),
+    )
+
+
+def lq_apply2(qtt, qtb, qbt, qbb, yl, yr):
+    """Apply Q^T (from lq_factor2) on the right to [yl yr]:
+    returns (yl', yr') = [yl yr] @ Q^T blockwise."""
+    qtt, qtb, qbt, qbb = (np.asarray(x, np.float64) for x in (qtt, qtb, qbt, qbb))
+    yl64, yr64 = np.asarray(yl, np.float64), np.asarray(yr, np.float64)
+    new_l = yl64 @ qtt.T + yr64 @ qtb.T
+    new_r = yl64 @ qbt.T + yr64 @ qbb.T
+    return new_l.astype(yl.dtype), new_r.astype(yr.dtype)
+
+
+# --------------------------------------------------------------------------
 # Registry + flop model (feeds the metrics layer; the reference keeps
 # per-instruction flop counters on RemoteInstruction — SURVEY §5 tracing)
 # --------------------------------------------------------------------------
@@ -168,11 +230,18 @@ KERNELS = {
     "qr_r": qr_r,
     "lq_leaf": lq_leaf,
     "small_qr_apply": small_qr_apply,
+    "qr_factor2": qr_factor2,
+    "qr_apply2": qr_apply2,
+    "lq_factor2": lq_factor2,
+    "lq_apply2": lq_apply2,
 }
 
 # number of outputs per kernel (the DSL needs this for multi-assignment)
 N_OUTPUTS = {name: 1 for name in KERNELS}
-N_OUTPUTS.update({"qr_leaf": 2, "qr_combine": 3, "lq_leaf": 2})
+N_OUTPUTS.update({
+    "qr_leaf": 2, "qr_combine": 3, "lq_leaf": 2,
+    "qr_factor2": 5, "lq_factor2": 5, "qr_apply2": 2, "lq_apply2": 2,
+})
 
 
 def flop_count(op: str, shapes) -> int:
@@ -208,6 +277,12 @@ def flop_count(op: str, shapes) -> int:
         (m, k) = shapes[0]
         n = shapes[1][1]
         return 2 * m * k * n
+    if op in ("qr_factor2", "lq_factor2"):
+        n = shapes[0][0]
+        return 4 * n * n * n
+    if op in ("qr_apply2", "lq_apply2"):
+        n = shapes[0][0]
+        return 8 * n * n * n
     if op in ("add", "sub", "copy", "identity", "transpose"):
         m, n = shapes[0]
         return m * n

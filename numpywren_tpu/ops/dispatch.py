@@ -51,6 +51,10 @@ JAX_KERNELS = {
     "qr_r": factor.qr_r,
     "lq_leaf": factor.lq_leaf,
     "small_qr_apply": factor.small_qr_apply,
+    "qr_factor2": factor.qr_factor2,
+    "qr_apply2": factor.qr_apply2,
+    "lq_factor2": factor.lq_factor2,
+    "lq_apply2": factor.lq_apply2,
 }
 
 

@@ -63,3 +63,50 @@ def small_qr_apply(q: jax.Array, a: jax.Array) -> jax.Array:
     from numpywren_tpu.ops.gemm import matmul
 
     return matmul(q, a, ta=True)
+
+
+# ---------------------------------------------------------------------------
+# Full-Q pairwise kernels (BDFAC flat-tree sweeps; see kernels.py docstrings)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def qr_factor2(top: jax.Array, bot: jax.Array):
+    """Complete QR of [top; bot]: (qtt, qtb, qbt, qbb, r)."""
+    t = top.shape[-2]
+    q, r = jnp.linalg.qr(jnp.concatenate([top, bot], axis=-2), mode="complete")
+    return (
+        q[..., :t, :t], q[..., :t, t:],
+        q[..., t:, :t], q[..., t:, t:],
+        r[..., :t, :],
+    )
+
+
+@jax.jit
+def qr_apply2(qtt, qtb, qbt, qbb, yt, yb):
+    mt = jnp.swapaxes
+    new_t = mt(qtt, -1, -2) @ yt + mt(qbt, -1, -2) @ yb
+    new_b = mt(qtb, -1, -2) @ yt + mt(qbb, -1, -2) @ yb
+    return new_t, new_b
+
+
+@jax.jit
+def lq_factor2(left: jax.Array, right: jax.Array):
+    """Complete LQ of [left right]: (qtt, qtb, qbt, qbb, l)."""
+    t = left.shape[-2]
+    a_t = jnp.swapaxes(jnp.concatenate([left, right], axis=-1), -1, -2)
+    qc, rc = jnp.linalg.qr(a_t, mode="complete")
+    q = jnp.swapaxes(qc, -1, -2)
+    l = jnp.swapaxes(rc[..., :t, :], -1, -2)
+    return (
+        q[..., :t, :t], q[..., :t, t:],
+        q[..., t:, :t], q[..., t:, t:],
+        l,
+    )
+
+
+@jax.jit
+def lq_apply2(qtt, qtb, qbt, qbb, yl, yr):
+    mt = jnp.swapaxes
+    new_l = yl @ mt(qtt, -1, -2) + yr @ mt(qtb, -1, -2)
+    new_r = yl @ mt(qbt, -1, -2) + yr @ mt(qbb, -1, -2)
+    return new_l, new_r

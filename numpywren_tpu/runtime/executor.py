@@ -180,7 +180,18 @@ def _batched_kernels(precision):
         "qr_r": lambda a: jnp.linalg.qr(a, mode="r"),
         "lq_leaf": lq_leaf,
         "small_qr_apply": lambda q, a: mm(q, a, ta=True),
+        # batched-safe (use `...` axes) full-Q pairwise kernels
+        "qr_factor2": _factor_ops("qr_factor2"),
+        "qr_apply2": _factor_ops("qr_apply2"),
+        "lq_factor2": _factor_ops("lq_factor2"),
+        "lq_apply2": _factor_ops("lq_apply2"),
     }
+
+
+def _factor_ops(name):
+    from numpywren_tpu.ops import factor
+
+    return getattr(factor, name)
 
 
 class JaxTaskExecutor:

@@ -1,0 +1,172 @@
+"""Out-of-HBM execution: host-RAM-resident matrices streamed through HBM.
+
+The reference's matrices always live OUTSIDE the compute nodes (S3), and
+workers stream blocks through Lambda RAM (numpywren/matrix.py get_block /
+job_runner.py cache). The TPU analog for matrices larger than HBM: the
+matrix lives in the host tier (TiledMatrix storage="host"), and a
+LEFT-LOOKING panel algorithm streams column super-panels through the chip —
+each panel is updated by all previously factored panels (one GEMM per
+predecessor panel, streamed), then factored on-device, then written back.
+
+Device high-water mark: 2 panels (N x W each) + small workspace, regardless
+of N. Host<->device traffic: O(N^2 * S) for S super-panels — the classic
+out-of-core tradeoff the reference pays to S3 on every task.
+
+Checkpoint/resume (SURVEY §5): the reference gets resume for free because
+every completed tile is in S3 (block_idxs_exist). Here, each completed
+panel is flushed to the host store + an on-disk manifest records the panel
+counter; resume skips completed panels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from numpywren_tpu.exceptions import ShapeError
+from numpywren_tpu.tiled import TiledMatrix
+from numpywren_tpu.utils import cdiv
+
+
+def _panel_from_host(m: TiledMatrix, row0_t: int, col0_t: int, rows_t: int, cols_t: int,
+                     lower_mirror: bool = False) -> np.ndarray:
+    """Assemble tiles [row0_t:row0_t+rows_t) x [col0_t:col0_t+cols_t) into one
+    host array. lower_mirror reads (j, i) transposed when i < j (SPD input
+    stored lower-triangle-only, TiledSymmetricMatrix semantics)."""
+    tm, tn = m.tile
+    out = np.zeros((rows_t * tm, cols_t * tn), dtype=m.dtype)
+    for i in range(rows_t):
+        for j in range(cols_t):
+            gi, gj = row0_t + i, col0_t + j
+            if lower_mirror and gi < gj:
+                blk = np.asarray(m.get_block(gj, gi)).T
+            else:
+                blk = np.asarray(m.get_block(gi, gj))
+            out[i * tm : (i + 1) * tm, j * tn : (j + 1) * tn] = blk
+    return out
+
+
+def _panel_to_host(m: TiledMatrix, arr: np.ndarray, row0_t: int, col0_t: int):
+    tm, tn = m.tile
+    rows_t, cols_t = arr.shape[0] // tm, arr.shape[1] // tn
+    for i in range(rows_t):
+        for j in range(cols_t):
+            m.put_block(arr[i * tm : (i + 1) * tm, j * tn : (j + 1) * tn],
+                        row0_t + i, col0_t + j)
+
+
+class SpillCheckpoint:
+    """Panel-granular checkpoint manifest: completed L panels live in
+    `dir/panel_<s>.npy` plus a manifest.json step counter."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        if path:
+            os.makedirs(path, exist_ok=True)
+
+    @property
+    def manifest_file(self):
+        return os.path.join(self.path, "manifest.json")
+
+    def completed(self) -> int:
+        if not self.path or not os.path.exists(self.manifest_file):
+            return 0
+        with open(self.manifest_file) as f:
+            return json.load(f).get("panels_done", 0)
+
+    def load_panel(self, s: int) -> np.ndarray:
+        return np.load(os.path.join(self.path, f"panel_{s}.npy"))
+
+    def save_panel(self, s: int, arr: np.ndarray, meta: dict):
+        if not self.path:
+            return
+        np.save(os.path.join(self.path, f"panel_{s}.npy"), arr)
+        tmp = self.manifest_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"panels_done": s + 1, **meta}, f)
+        os.replace(tmp, self.manifest_file)  # atomic commit
+
+
+def out_of_core_cholesky(
+    a: TiledMatrix,
+    panel_tiles: int = 4,
+    precision=None,
+    checkpoint_dir: Optional[str] = None,
+    out: Optional[TiledMatrix] = None,
+) -> TiledMatrix:
+    """Left-looking blocked Cholesky of a host-tier SPD TiledMatrix.
+
+    Only ~2 column super-panels are device-resident at any time; works for
+    matrices larger than HBM (BASELINE config #5). Returns a host-tier L.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import fused_cholesky_fn
+    from numpywren_tpu.ops.common import default_precision
+
+    if a.shape[0] != a.shape[1] or a.tile[0] != a.tile[1]:
+        raise ShapeError("out_of_core_cholesky needs a square matrix / square tiles")
+    g = a.grid[0]
+    t = a.tile[0]
+    n_pad = g * t
+    if precision is None:
+        precision = default_precision(a.dtype)
+    lower_mirror = type(a).__name__ == "TiledSymmetricMatrix" or getattr(a, "_lower_only", False)
+
+    l_out = out or TiledMatrix(
+        key=a.key + ":ooc_L", shape=a.shape, tile=a.tile, dtype=a.dtype, storage="host",
+        parent_fn=lambda m, i, j: np.zeros(m.tile, m.dtype),
+    )
+
+    ckpt = SpillCheckpoint(checkpoint_dir)
+    n_panels = cdiv(g, panel_tiles)
+    start_panel = ckpt.completed()
+    # resume: reload completed panels into the output store
+    for s in range(start_panel):
+        arr = ckpt.load_panel(s)
+        _panel_to_host(l_out, arr, s * panel_tiles, s * panel_tiles)
+
+    @jax.jit
+    def update(panel, l_strip, l_diag_strip):
+        # panel -= L[rows, prev] @ L[cols, prev]^T (left-looking gemm)
+        return panel - jnp.matmul(l_strip, l_diag_strip.T, precision=precision)
+
+    @jax.jit  # re-traces per (shape, dtype); one panel shape per step
+    def factor_panel(panel):
+        # panel = [D; B]: D := chol(D); B := B D^{-T}
+        w_cols = panel.shape[1]
+        chol = fused_cholesky_fn(w_cols, t, precision=precision,
+                                 dtype=panel.dtype, pallas=False)
+        ld = chol(panel[:w_cols])
+        rest = panel[w_cols:]
+        if rest.shape[0] == 0:
+            return ld
+        rest = jax.lax.linalg.triangular_solve(
+            ld, rest, left_side=False, lower=True, transpose_a=True)
+        return jnp.concatenate([ld, rest], axis=0)
+
+    for s in range(start_panel, n_panels):
+        c0 = s * panel_tiles
+        w_t = min(panel_tiles, g - c0)          # panel width in tiles
+        rows_t = g - c0                          # rows from the diagonal down
+        # load panel (SPD: lower triangle mirrored for blocks above diagonal)
+        host_panel = _panel_from_host(a, c0, c0, rows_t, w_t, lower_mirror=lower_mirror)
+        panel = jnp.asarray(host_panel)
+        # stream updates from previously factored panels
+        for q in range(s):
+            q0 = q * panel_tiles
+            q_w = min(panel_tiles, g - q0)
+            l_strip = jnp.asarray(_panel_from_host(l_out, c0, q0, rows_t, q_w))
+            l_top = l_strip[: w_t * t]           # rows of the panel's columns
+            panel = update(panel, l_strip, l_top)
+        panel = factor_panel(panel)
+        host_l = np.asarray(panel)
+        # zero the strictly-upper tiles of the diagonal block region
+        _panel_to_host(l_out, host_l, c0, c0)
+        ckpt.save_panel(s, host_l, {"n": a.shape[0], "tile": t, "panel_tiles": panel_tiles})
+
+    return l_out
