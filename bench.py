@@ -69,7 +69,7 @@ def measure_matmul_peak(dtype, precision, n: int = 4096) -> float:
     return 2 * n**3 / per / 1e12
 
 
-def bench_cholesky(n, tile, dtype, precision, super_panel):
+def bench_cholesky(n, tile, dtype, precision, syrk_depth):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +82,7 @@ def bench_cholesky(n, tile, dtype, precision, super_panel):
          + 2.0 * jnp.eye(n, dtype=jnp.float32)).astype(dtype)
     a.block_until_ready()
 
-    body = fused_cholesky_fn(n, tile, super_panel=super_panel,
+    body = fused_cholesky_fn(n, tile, syrk_depth=syrk_depth,
                              precision=precision, dtype=dtype)
     diag = jnp.arange(n)
 
@@ -106,15 +106,20 @@ def bench_cholesky(n, tile, dtype, precision, super_panel):
     # on-device residual: ||A - L L^T||_F / ||A||_F
     l = step(a, jnp.zeros((), dtype))
     lf = l.astype(jnp.float32)
+    # measure the residual at HIGHEST precision — the measurement matmul
+    # must be more accurate than the factorization being measured
     resid = fetch_scalar(
-        jnp.linalg.norm(a.astype(jnp.float32) - jnp.matmul(lf, lf.T))
+        jnp.linalg.norm(
+            a.astype(jnp.float32)
+            - jnp.matmul(lf, lf.T, precision=jax.lax.Precision.HIGHEST)
+        )
         / jnp.linalg.norm(a.astype(jnp.float32))
     )
     log(f"per-factorization: {per*1e3:.1f} ms  residual: {resid:.3e}")
     return tflops, per, {"residual_fro": resid}
 
 
-def bench_gemm(n, tile, dtype, precision, super_panel):
+def bench_gemm(n, tile, dtype, precision, syrk_depth):
     import jax
     import jax.numpy as jnp
 
@@ -137,7 +142,7 @@ def bench_gemm(n, tile, dtype, precision, super_panel):
     return 2 * n**3 / per / 1e12, per, {}
 
 
-def bench_tsqr(n, tile, dtype, precision, super_panel):
+def bench_tsqr(n, tile, dtype, precision, syrk_depth):
     import jax
     import jax.numpy as jnp
 
@@ -174,8 +179,13 @@ def main():
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--tile", type=int, default=None)
     p.add_argument("--dtype", default="float32")
-    p.add_argument("--precision", default="default", choices=["default", "highest"])
-    p.add_argument("--super-panel", type=int, default=4)
+    # "high" (bf16_3x) is the flagship: fp32-equivalent accuracy (~1e-5 rel
+    # error vs fp64, scipy-fp32 parity) at ~2.5x the speed of "highest";
+    # "default" on this hardware is 1-pass bf16 — fast but ~1e-3 error.
+    p.add_argument("--precision", default="high",
+                   choices=["default", "high", "highest"])
+    p.add_argument("--syrk-depth", type=int, default=3,
+                   help="recursive triangular-syrk depth")
     p.add_argument("--target-frac", type=float, default=0.70,
                    help="BASELINE.json north-star fraction of peak")
     args = p.parse_args()
@@ -188,21 +198,24 @@ def main():
     on_tpu = dev.platform == "tpu"
 
     defaults = {
-        "cholesky": (16384 if on_tpu else 512, 1024 if on_tpu else 128),
+        "cholesky": (16384 if on_tpu else 512, 512 if on_tpu else 128),
         "gemm": (8192 if on_tpu else 1024, 512),
         "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
     }
     n = args.n or defaults[args.alg][0]
     tile = args.tile or defaults[args.alg][1]
     dtype = jnp.dtype(args.dtype)
-    precision = (jax.lax.Precision.HIGHEST if args.precision == "highest"
-                 else jax.lax.Precision.DEFAULT)
+    precision = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[args.precision]
 
     peak = measure_matmul_peak(dtype, precision)
     log(f"measured matmul speed-of-light: {peak:.1f} TFLOP/s")
 
     fn = {"cholesky": bench_cholesky, "gemm": bench_gemm, "tsqr": bench_tsqr}[args.alg]
-    tflops, per, extra = fn(n, tile, dtype, precision, args.super_panel)
+    tflops, per, extra = fn(n, tile, dtype, precision, args.syrk_depth)
 
     frac_peak = tflops / peak
     vs_baseline = frac_peak / args.target_frac

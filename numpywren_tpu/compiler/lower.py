@@ -50,7 +50,12 @@ def _matmul(a, b, *, ta=False, tb=False, precision, pallas=True):
     """Large fused matmul. On TPU this routes through the Pallas MXU kernel
     when shapes are tile-aligned; elsewhere (CPU "fake cluster") jnp.matmul.
     pallas=False forces plain XLA dots — required under GSPMD partitioning
-    (parallel.sharded), which cannot split an opaque pallas_call."""
+    (parallel.sharded), which cannot split an opaque pallas_call. Mosaic
+    only accepts DEFAULT/HIGHEST dot precision, so HIGH (bf16x3, the fp32
+    flagship) also takes the XLA path — XLA's HIGH dot already runs at the
+    3-pass speed of light."""
+    if precision == jax.lax.Precision.HIGH:
+        pallas = False
     if pallas and on_tpu():
         from numpywren_tpu.ops.gemm import matmul as pallas_matmul
 
@@ -69,12 +74,39 @@ def _matmul(a, b, *, ta=False, tb=False, precision, pallas=True):
 # Cholesky
 # ---------------------------------------------------------------------------
 
+def _syrk_tril(a, pan, r1, j0, rows, depth, tile, precision, pallas, leaf_rows):
+    """In-place a[j0:j0+rows, j0:j0+rows] -= P P^T restricted to the (block)
+    lower triangle, recursively: the off-diagonal rectangle is ONE large MXU
+    GEMM, the two diagonal halves recurse; leaves compute their full square
+    (bounded waste: leaf_rows/rows of the flops).
+
+    Splits MUST land on tile boundaries: a split through a diagonal tile
+    would leave stale upper-triangle values inside a tile that a later
+    potrf reads (cholesky sees the full tile)."""
+    if depth == 0 or rows <= leaf_rows:
+        p = lax.dynamic_slice(pan, (j0 - r1, 0), (rows, pan.shape[1]))
+        s = lax.dynamic_slice(a, (j0, j0), (rows, rows))
+        upd = _matmul(p, p, tb=True, precision=precision, pallas=pallas)
+        return _dus(a, (s - upd).astype(a.dtype), j0, j0)
+    h = (rows // 2 + tile - 1) // tile * tile  # split on a tile boundary
+    p1 = lax.dynamic_slice(pan, (j0 - r1, 0), (h, pan.shape[1]))
+    p2 = lax.dynamic_slice(pan, (j0 - r1 + h, 0), (rows - h, pan.shape[1]))
+    s21 = lax.dynamic_slice(a, (j0 + h, j0), (rows - h, h))
+    upd = _matmul(p2, p1, tb=True, precision=precision, pallas=pallas)
+    a = _dus(a, (s21 - upd).astype(a.dtype), j0 + h, j0)
+    a = _syrk_tril(a, pan, r1, j0, h, depth - 1, tile, precision, pallas, leaf_rows)
+    a = _syrk_tril(a, pan, r1, j0 + h, rows - h, depth - 1, tile, precision, pallas, leaf_rows)
+    return a
+
+
 def fused_cholesky_fn(
     n_pad: int,
     tile: int,
     *,
     truncate: int = 0,
-    super_panel: int = 4,
+    syrk_depth: int = 3,
+    leaf_rows: int = 2048,
+    inv_panel: bool = True,
     precision=None,
     dtype=jnp.float32,
     pallas: bool = True,
@@ -83,10 +115,16 @@ def fused_cholesky_fn(
 
     Right-looking factorization, unrolled over the k panels at trace time so
     every slice has static shape (XLA requirement; SURVEY §7 "no
-    data-dependent control flow inside jit"). The trailing update of step k
-    is blocked into column super-panels of `super_panel` tiles: panel j0
-    updates rows j0.. only, so the upper triangle is never computed — the
-    full-square update would waste ~2x flops and cap useful-MXU at 50%.
+    data-dependent control flow inside jit"). Design choices measured on
+    chip (see bench.py):
+
+    - panel op as explicit triangular inverse + GEMM (`inv_panel`): the
+      tile inverse is one small solve; the panel apply becomes an MXU GEMM
+      with a precision knob, ~3x faster than the long-rhs triangular_solve.
+    - trailing update via _syrk_tril: recursive lower-triangle-only syrk —
+      big off-diagonal GEMMs, bounded full-square waste at the leaves.
+    - potrf reads only the lower triangle (symmetrize_input=False): the
+      strictly-upper region of a diagonal tile may hold stale values.
 
     Returns fn(a) -> l where `a` is the (n_pad, n_pad) SPD array and `l` the
     lower-triangular factor (upper triangle zeroed).
@@ -97,56 +135,54 @@ def fused_cholesky_fn(
     steps = g - truncate
     if precision is None:
         precision = default_precision(dtype)
-    sp = max(1, super_panel)
 
     def chol(a):
+        eye = jnp.eye(tile, dtype=dtype)
         for k in range(steps):
             r0 = k * tile
             r1 = (k + 1) * tile
             akk = lax.dynamic_slice(a, (r0, r0), (tile, tile))
-            lkk = lax.linalg.cholesky(akk)
+            lkk = lax.linalg.cholesky(akk, symmetrize_input=False)
             a = _dus(a, lkk, r0, r0)
             rem = n_pad - r1
             if rem == 0:
                 continue
-            # panel: solve X @ Lkk^T = A[r1:, r0:r1]
+            # panel: X @ Lkk^T = A[r1:, r0:r1]
             pan = lax.dynamic_slice(a, (r1, r0), (rem, tile))
-            pan = lax.linalg.triangular_solve(
-                lkk, pan, left_side=False, lower=True, transpose_a=True
-            )
-            a = _dus(a, pan, r1, r0)
-            # trailing update by column super-panels (lower triangle only):
-            # S[j0:, j0:j0+w] -= P[j0-r1:, :] @ P[j0-r1:j0-r1+w, :]^T
-            j0 = r1
-            while j0 < n_pad:
-                w = min(sp * tile, n_pad - j0)
-                rows = n_pad - j0
-                p_rows = lax.dynamic_slice(pan, (j0 - r1, 0), (rows, tile))
-                p_cols = lax.dynamic_slice(pan, (j0 - r1, 0), (w, tile))
-                s = lax.dynamic_slice(a, (j0, j0), (rows, w))
-                upd = _matmul(p_rows, p_cols, tb=True, precision=precision, pallas=pallas)
-                a = _dus(a, (s - upd).astype(a.dtype), j0, j0)
-                j0 += w
+            if inv_panel:
+                w = lax.linalg.triangular_solve(lkk, eye, left_side=True, lower=True)
+                pan = _matmul(pan, w, tb=True, precision=precision, pallas=pallas)
+            else:
+                pan = lax.linalg.triangular_solve(
+                    lkk, pan, left_side=False, lower=True, transpose_a=True
+                )
+            a = _dus(a, pan.astype(a.dtype), r1, r0)
+            a = _syrk_tril(a, pan, r1, r1, rem, syrk_depth, tile,
+                           precision, pallas, leaf_rows)
         return jnp.tril(a) if truncate == 0 else a
 
     return chol
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_cholesky(n_pad, tile, truncate, super_panel, precision, dtype):
+def _jitted_cholesky(n_pad, tile, truncate, syrk_depth, leaf_rows,
+                     inv_panel, precision, dtype):
     fn = fused_cholesky_fn(
-        n_pad, tile, truncate=truncate, super_panel=super_panel,
+        n_pad, tile, truncate=truncate, syrk_depth=syrk_depth,
+        leaf_rows=leaf_rows, inv_panel=inv_panel,
         precision=precision, dtype=dtype,
     )
     return jax.jit(fn, donate_argnums=(0,))
 
 
 def fused_cholesky(a: jax.Array, tile: int, *, truncate: int = 0,
-                   super_panel: int = 4, precision=None) -> jax.Array:
+                   syrk_depth: int = 3, leaf_rows: int = 2048,
+                   inv_panel: bool = True, precision=None) -> jax.Array:
     """One-call fused Cholesky on a flat padded array (donates its input)."""
     if precision is None:
         precision = default_precision(a.dtype)
-    fn = _jitted_cholesky(a.shape[0], tile, truncate, super_panel, precision, a.dtype)
+    fn = _jitted_cholesky(a.shape[0], tile, truncate, syrk_depth, leaf_rows,
+                          inv_panel, precision, a.dtype)
     return fn(a)
 
 

@@ -52,21 +52,87 @@ class Node:
 
 
 class ScheduledDAG:
-    """The compiled program: nodes + edges + wavefront levels + bindings."""
+    """The compiled program: nodes + edges + wavefront levels + bindings.
+
+    The native (C++) schedule core fills this lazily: raw int64 tables live
+    in `_native` and the Python-facing Node list/edge lists materialize on
+    first access — the fused lowering never touches them, so giant grids
+    compile without paying for 10^5-10^6 Python objects."""
 
     def __init__(self, template, matrices: Dict[str, BoundArg], consts: Dict[str, int]):
         self.template = template
         self.matrices = matrices
         self.consts = consts
-        self.nodes: List[Node] = []
-        self.parents: List[List[int]] = []
-        self.children: List[List[int]] = []
-        self.levels: List[List[int]] = []
-        self.node_level: List[int] = []
+        self._nodes: Optional[List[Node]] = None
+        self._parents: Optional[List[List[int]]] = None
+        self._children: Optional[List[List[int]]] = None
+        self._levels: Optional[List[List[int]]] = None
+        self._node_level: Optional[List[int]] = None
         self.initial_reads: set = set()
+        self._native = None  # raw tables from the C++ core
+
+    # --- lazily materialized views --------------------------------------
+    def _mat_nodes(self):
+        if self._nodes is None:
+            from numpywren_tpu.native.schedule_native import materialize_nodes
+
+            self._nodes = materialize_nodes(self)
+        return self._nodes
+
+    def _mat_edges(self):
+        if self._parents is None:
+            from numpywren_tpu.native.schedule_native import materialize_edges
+
+            materialize_edges(self)
+        return self._parents
+
+    @property
+    def nodes(self) -> List[Node]:
+        return self._mat_nodes()
+
+    @nodes.setter
+    def nodes(self, v):
+        self._nodes = v
+
+    @property
+    def parents(self) -> List[List[int]]:
+        return self._mat_edges()
+
+    @parents.setter
+    def parents(self, v):
+        self._parents = v
+
+    @property
+    def children(self) -> List[List[int]]:
+        self._mat_edges()
+        return self._children
+
+    @children.setter
+    def children(self, v):
+        self._children = v
+
+    @property
+    def levels(self) -> List[List[int]]:
+        self._mat_edges()
+        return self._levels
+
+    @levels.setter
+    def levels(self, v):
+        self._levels = v
+
+    @property
+    def node_level(self) -> List[int]:
+        self._mat_edges()
+        return self._node_level
+
+    @node_level.setter
+    def node_level(self, v):
+        self._node_level = v
 
     @property
     def num_nodes(self) -> int:
+        if self._nodes is None and self._native is not None:
+            return self._native["n"]
         return len(self.nodes)
 
     def total_flops(self) -> int:
@@ -110,13 +176,36 @@ def compile_schedule(template: ProgramTemplate, bindings: Dict[str, Any]):
         raise CompilationError(f"{template.name}: unbound arguments {sorted(missing)}")
 
     dag = ScheduledDAG(template, matrices, consts)
-    _enumerate(template.body, dict(consts), dag, matrices)
-    _resolve_edges(dag)
-    _level(dag)
+    if not _try_native(dag):
+        dag.nodes = []
+        _enumerate(template.body, dict(consts), dag, matrices)
+        _resolve_edges(dag)
+        _level(dag)
 
     from numpywren_tpu.runtime.program import TiledProgram
 
     return TiledProgram(dag)
+
+
+def _try_native(dag) -> bool:
+    """Run the C++ schedule core (numpywren_tpu/native) when available.
+    NPW_NATIVE=0 disables it, NPW_NATIVE=1 makes unavailability an error;
+    default: use it opportunistically, fall back to the Python passes."""
+    import os
+
+    mode = os.environ.get("NPW_NATIVE", "auto")
+    if mode == "0":
+        return False
+    try:
+        from numpywren_tpu.native.schedule_native import compile_native
+    except ImportError:
+        if mode == "1":
+            raise CompilationError("NPW_NATIVE=1 but native core not importable")
+        return False
+    ok = compile_native(dag)
+    if ok is None and mode == "1":
+        raise CompilationError("NPW_NATIVE=1 but native core unavailable/unsupported")
+    return bool(ok)
 
 
 # ---------------------------------------------------------------------------

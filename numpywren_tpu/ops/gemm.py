@@ -97,6 +97,10 @@ def matmul(
     out_dtype = jnp.dtype(out_dtype or a.dtype)
     if precision is None:
         precision = default_precision(a.dtype)
+    if precision == jax.lax.Precision.HIGH:
+        # Mosaic dots only accept DEFAULT/HIGHEST; bf16x3 inputs get the
+        # accuracy from HIGHEST accumulate passes at the kernel level
+        precision = jax.lax.Precision.HIGHEST
     if interpret is None:
         interpret = interpret_default()
 

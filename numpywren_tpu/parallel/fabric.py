@@ -1,0 +1,135 @@
+"""Fabric: explicit ICI collectives under shard_map (SURVEY §7 layer 3).
+
+This is the rebuild of the reference's communication layer. There, ALL
+communication is storage: a panel is "broadcast" by every Lambda reading the
+same S3 blocks, and a reduction is a tree of tasks writing partial blocks
+(numpywren/binops.py, algs.py `reducer`). Here the same two primitives are
+explicit XLA collectives over the device mesh:
+
+- panel broadcast  -> `psum` of a masked operand along a mesh axis
+  (one-to-all over ICI; used by SUMMA's k-step panels)
+- tree reduction   -> butterfly exchange via `ppermute` (the TSQR combine
+  tree, log2(P) rounds, each a pairwise stacked QR)
+
+`parallel.sharded` gets the same data movement implicitly from GSPMD; this
+module is the hand-scheduled path for when the compiler's choices are not
+good enough, and the reference point for what GSPMD must beat.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from numpywren_tpu.exceptions import ShapeError
+from numpywren_tpu.ops.common import default_precision
+from numpywren_tpu.parallel.mesh import make_mesh
+
+
+def broadcast_along(x, axis_name: str, root):
+    """One-to-all broadcast along a mesh axis inside shard_map: mask + psum.
+    (The S3-read analog: every device 'reads' the root's panel.)"""
+    idx = lax.axis_index(axis_name)
+    return lax.psum(jnp.where(idx == root, x, jnp.zeros_like(x)), axis_name)
+
+
+# ---------------------------------------------------------------------------
+# SUMMA GEMM
+# ---------------------------------------------------------------------------
+
+def summa_gemm(a, b, mesh: Optional[Mesh] = None, *, precision=None) -> jax.Array:
+    """C = A @ B by SUMMA over a SQUARE (s x s) mesh: s k-steps, each
+    broadcasting one block-column of A along mesh rows and one block-row of
+    B along mesh columns, accumulating local MXU partials. All operands and
+    the result are 2-D block-sharded."""
+    mesh = mesh or make_mesh()
+    rows_ax, cols_ax = mesh.axis_names
+    r, c = mesh.devices.shape
+    if r != c:
+        raise ShapeError(f"summa_gemm needs a square mesh, got {mesh.devices.shape}")
+    s = r
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ShapeError(f"gemm shape mismatch: {a.shape} @ {b.shape}")
+    if m % s or k % s or n % s:
+        raise ShapeError(f"shapes {a.shape} @ {b.shape} must divide mesh {s}")
+    if precision is None:
+        precision = default_precision(jnp.asarray(a).dtype)
+
+    spec = P(rows_ax, cols_ax)
+    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+    b = jax.device_put(jnp.asarray(b), NamedSharding(mesh, spec))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+    )
+    def f(a_loc, b_loc):
+        c0 = jnp.zeros((a_loc.shape[0], b_loc.shape[1]), a_loc.dtype)
+        # mark the carry as varying over the mesh axes (shard_map VMA rule:
+        # the fori carry must match the body output's varying axes)
+        c0 = lax.pcast(c0, (rows_ax, cols_ax), to="varying")
+
+        def body(t, acc):
+            a_pan = broadcast_along(a_loc, cols_ax, t)   # block-col t of A
+            b_pan = broadcast_along(b_loc, rows_ax, t)   # block-row t of B
+            return acc + jnp.matmul(a_pan, b_pan, precision=precision).astype(acc.dtype)
+
+        return lax.fori_loop(0, s, body, c0)
+
+    return jax.jit(f)(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Butterfly TSQR (all-reduce-shaped combine tree)
+# ---------------------------------------------------------------------------
+
+def tsqr_butterfly(a, mesh: Optional[Mesh] = None, *, axis: Optional[str] = None):
+    """R factor of a tall-skinny A via a butterfly TSQR across one mesh axis.
+
+    Each device QRs its row shard, then log2(P) ppermute rounds exchange R
+    factors with the partner at distance 2^l and re-QR the stacked pair —
+    the `reducer` tree of the reference (algs.py tsqr) with every round an
+    ICI exchange instead of an S3 write+read. After the last round every
+    device holds the SAME R (all-reduce shape), so downstream consumers need
+    no extra broadcast."""
+    mesh = mesh or make_mesh()
+    if axis is None:
+        # flatten the whole mesh into one logical axis by reshaping devices
+        devs = mesh.devices.reshape(-1)
+        mesh = Mesh(devs, ("d",))
+        axis = "d"
+    p = mesh.shape[axis]
+    if p & (p - 1):
+        raise ShapeError(f"butterfly needs power-of-2 devices on axis, got {p}")
+    m, b = a.shape
+    if m % p:
+        raise ShapeError(f"rows {m} must divide {p} devices")
+
+    spec = P(axis, None)
+    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,
+    )
+    def f(a_loc):
+        r = jnp.linalg.qr(a_loc, mode="r")
+        me = lax.axis_index(axis)
+        for l in range(p.bit_length() - 1):
+            d = 1 << l
+            perm = [(i, i ^ d) for i in range(p)]
+            r_other = lax.ppermute(r, axis, perm)
+            lower = (me & d) == 0
+            top = jnp.where(lower, r, r_other)
+            bot = jnp.where(lower, r_other, r)
+            r = jnp.linalg.qr(jnp.concatenate([top, bot], axis=0), mode="r")
+        return r
+
+    stacked = jax.jit(f)(a)  # (p*b, b): identical R per device shard
+    return stacked[:b]

@@ -39,10 +39,10 @@ def _put(a, sharding) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=16)
-def _sharded_chol_fn(n_pad: int, tile: int, truncate: int, super_panel: int,
+def _sharded_chol_fn(n_pad: int, tile: int, truncate: int, syrk_depth: int,
                      precision, dtype, mesh: Mesh):
     fn = fused_cholesky_fn(
-        n_pad, tile, truncate=truncate, super_panel=super_panel,
+        n_pad, tile, truncate=truncate, syrk_depth=syrk_depth,
         precision=precision, dtype=dtype, pallas=False,
     )
     sh = tile_sharding(mesh)
@@ -50,7 +50,7 @@ def _sharded_chol_fn(n_pad: int, tile: int, truncate: int, super_panel: int,
 
 
 def sharded_cholesky(a, tile: int, mesh: Optional[Mesh] = None, *,
-                     truncate: int = 0, super_panel: int = 4,
+                     truncate: int = 0, syrk_depth: int = 3,
                      precision=None) -> jax.Array:
     """Blocked Cholesky of a flat padded (n, n) array sharded over `mesh`.
 
@@ -61,7 +61,7 @@ def sharded_cholesky(a, tile: int, mesh: Optional[Mesh] = None, *,
     a = _put(a, tile_sharding(mesh))
     if precision is None:
         precision = default_precision(a.dtype)
-    fn = _sharded_chol_fn(a.shape[0], tile, truncate, super_panel,
+    fn = _sharded_chol_fn(a.shape[0], tile, truncate, syrk_depth,
                           precision, a.dtype, mesh)
     return fn(a)
 

@@ -1,0 +1,67 @@
+"""Explicit-collective fabric tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from numpywren_tpu.exceptions import ShapeError
+from numpywren_tpu.parallel.fabric import summa_gemm, tsqr_butterfly
+from numpywren_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh2x2():
+    return make_mesh(jax.devices()[:4], shape=(2, 2))
+
+
+def test_summa_matches_numpy(mesh2x2, rng):
+    a = rng.standard_normal((128, 64)).astype(np.float32)
+    b = rng.standard_normal((64, 96)).astype(np.float32)
+    c = np.asarray(summa_gemm(a, b, mesh=mesh2x2))
+    np.testing.assert_allclose(c, a @ b, rtol=1e-4, atol=1e-4)
+
+
+def test_summa_result_sharded(mesh2x2, rng):
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    c = summa_gemm(a, a, mesh=mesh2x2)
+    assert len(c.sharding.device_set) == 4
+
+
+def test_summa_rejects_nonsquare_mesh(rng):
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    with pytest.raises(ShapeError):
+        summa_gemm(a, a, mesh=mesh)
+
+
+@pytest.mark.parametrize("p", [2, 4, 8])
+def test_tsqr_butterfly(p, rng):
+    mesh = make_mesh(jax.devices()[:p], shape=(1, p))
+    a = rng.standard_normal((p * 32, 16)).astype(np.float32)
+    r = np.asarray(tsqr_butterfly(a, mesh=mesh))
+    np.testing.assert_allclose(r.T @ r, a.T @ a, rtol=1e-3, atol=1e-3)
+
+
+def test_tsqr_butterfly_rejects_non_pow2(rng):
+    devs = jax.devices()[:6]
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(devs), ("d",))
+    a = rng.standard_normal((6 * 16, 8)).astype(np.float32)
+    with pytest.raises(ShapeError):
+        tsqr_butterfly(a, mesh=mesh, axis="d")
+
+
+def test_tsqr_butterfly_vs_fused(rng):
+    from numpywren_tpu.compiler.lower import fused_tsqr
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh(jax.devices()[:8], shape=(1, 8))
+    a = rng.standard_normal((8 * 32, 16)).astype(np.float32)
+    r_bf = np.asarray(tsqr_butterfly(a, mesh=mesh))
+    r_fu = np.asarray(fused_tsqr(jnp.asarray(a), tile_rows=32))
+    np.testing.assert_allclose(
+        np.abs(r_bf), np.abs(r_fu), rtol=1e-3, atol=1e-3
+    )  # R unique up to row signs

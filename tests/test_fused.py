@@ -27,12 +27,27 @@ def test_fused_cholesky_matches_scipy():
     np.testing.assert_allclose(l, ref, rtol=5e-3, atol=5e-4)
 
 
-@pytest.mark.parametrize("super_panel", [1, 2, 8])
-def test_fused_cholesky_super_panel(super_panel):
+@pytest.mark.parametrize("syrk_depth", [0, 1, 3])
+def test_fused_cholesky_syrk_depth(syrk_depth):
     a = random_spd(192, seed=2)
     import jax.numpy as jnp
 
-    l = np.asarray(fused_cholesky(jnp.asarray(a), tile=64, super_panel=super_panel))
+    l = np.asarray(fused_cholesky(jnp.asarray(a), tile=64, syrk_depth=syrk_depth))
+    resid = np.linalg.norm(a - l @ l.T) / np.linalg.norm(a)
+    assert resid < 1e-5
+
+
+@pytest.mark.parametrize("inv_panel", [True, False])
+def test_fused_cholesky_split_straddles_tile(inv_panel):
+    """Regression: recursive syrk splits must land on tile boundaries — a
+    split through a diagonal tile leaves stale upper-triangle values that a
+    non-symmetrizing potrf must never read. leaf_rows shrunk so the
+    recursion actually splits, with odd row counts at several levels."""
+    a = random_spd(1280, seed=11)
+    import jax.numpy as jnp
+
+    l = np.asarray(fused_cholesky(jnp.asarray(a), tile=128, syrk_depth=3,
+                                  leaf_rows=256, inv_panel=inv_panel))
     resid = np.linalg.norm(a - l @ l.T) / np.linalg.norm(a)
     assert resid < 1e-5
 

@@ -1,0 +1,112 @@
+"""Native (C++) schedule core vs pure-Python compiler passes: the two must
+produce IDENTICAL DAGs (nodes, edges, levels, initial reads) for every
+algorithm template."""
+
+import os
+
+import numpy as np
+import pytest
+
+import numpywren_tpu as npw
+from numpywren_tpu import native
+from numpywren_tpu.matrix_init import random_spd
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native schedule core not built"
+)
+
+
+def _dag_fingerprint(prog):
+    d = prog.dag
+    nodes = [
+        (n.stmt_id, n.op, n.var_values, n.reads, n.writes, n.consts,
+         n.input_kinds, n.read_versions, n.write_versions)
+        for n in d.nodes
+    ]
+    return {
+        "nodes": nodes,
+        "parents": d.parents,
+        "levels": d.levels,
+        "initial_reads": sorted(d.initial_reads),
+    }
+
+
+def _compare(make_program):
+    os.environ["NPW_NATIVE"] = "1"
+    try:
+        p_native = make_program()
+    finally:
+        os.environ["NPW_NATIVE"] = "0"
+    try:
+        p_python = make_program()
+    finally:
+        os.environ.pop("NPW_NATIVE", None)
+    fn, fp = _dag_fingerprint(p_native), _dag_fingerprint(p_python)
+    assert fn["nodes"] == fp["nodes"]
+    assert fn["parents"] == fp["parents"]
+    assert fn["levels"] == fp["levels"]
+    assert fn["initial_reads"] == fp["initial_reads"]
+
+
+def test_cholesky_native_matches_python():
+    a = random_spd(160, seed=0)
+    _compare(lambda: npw.cholesky(a, tile=(32, 32), storage="host")[0])
+
+
+def test_cholesky_truncate_native():
+    a = random_spd(160, seed=0)
+    _compare(lambda: npw.cholesky(a, tile=(32, 32), storage="host", truncate=2)[0])
+
+
+def test_gemm_native_matches_python(rng):
+    a = rng.standard_normal((96, 64)).astype(np.float32)
+    b = rng.standard_normal((64, 96)).astype(np.float32)
+    _compare(lambda: npw.gemm(a, b, tile=(32, 32), storage="host")[0])
+
+
+@pytest.mark.parametrize("leaves", [5, 8])
+def test_tsqr_native_matches_python(rng, leaves):
+    a = rng.standard_normal((leaves * 64, 32)).astype(np.float32)
+    _compare(lambda: npw.tsqr(a, tile_rows=64, storage="host")[0])
+    _compare(lambda: npw.tsqr(a, tile_rows=64, storage="host", compute_q=True)[0])
+
+
+@pytest.mark.parametrize("n_tiles", [1, 2, 4])
+def test_bdfac_native_matches_python(rng, n_tiles):
+    x = rng.standard_normal((n_tiles * 16, n_tiles * 16)).astype(np.float32)
+    _compare(lambda: npw.bdfac(x, tile=(16, 16), storage="host")[0])
+
+
+def test_native_runs_correctly():
+    """End-to-end with the native-compiled schedule (not just structural)."""
+    os.environ["NPW_NATIVE"] = "1"
+    try:
+        a = random_spd(128, seed=3)
+        prog, l, _ = npw.cholesky(a, tile=(32, 32))
+        npw.run_program(prog, executor="jax")
+        ln = l.numpy()
+        resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+        assert resid < 1e-4
+    finally:
+        os.environ.pop("NPW_NATIVE", None)
+
+
+def test_native_double_write_error():
+    from numpywren_tpu.exceptions import CompilationError
+    from numpywren_tpu.frontend import lpcompile
+    from numpywren_tpu.tiled import TiledMatrix
+
+    src = """
+def bad(A, B, N):
+    for i in range(0, N):
+        B[0, 0] = copy(A[i, 0])
+"""
+    t = lpcompile(src)
+    a = TiledMatrix(shape=(64, 32), tile=(32, 32), storage="host")
+    b = TiledMatrix(shape=(32, 32), tile=(32, 32), storage="host")
+    os.environ["NPW_NATIVE"] = "1"
+    try:
+        with pytest.raises(CompilationError):
+            t.bind(A=a, B=b, N=2)
+    finally:
+        os.environ.pop("NPW_NATIVE", None)
