@@ -48,8 +48,10 @@ def slope_time(run_chain, k1: int, k2: int) -> float:
     return ((t2 - t1) - (t1 - t0)) / (k2 - k1)
 
 
-def measure_matmul_peak(dtype, precision, n: int = 4096) -> float:
-    """Measured dense-matmul speed-of-light (TFLOP/s) at dtype/precision."""
+def measure_matmul_peak(dtype, precision, n: int = 8192) -> float:
+    """Measured dense-matmul speed-of-light (TFLOP/s) at dtype/precision.
+    8192-sized operands + long chains: the tunnel's timing noise is tens of
+    ms, so each measurement leg must be hundreds of ms of real compute."""
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +59,7 @@ def measure_matmul_peak(dtype, precision, n: int = 4096) -> float:
 
     @jax.jit
     def mm(a, b):
-        return jnp.tanh(jnp.dot(a, b, precision=precision))
+        return jnp.dot(a, b, precision=precision) * 0.01
 
     def chain(k):
         y = x
@@ -65,8 +67,16 @@ def measure_matmul_peak(dtype, precision, n: int = 4096) -> float:
             y = mm(y, x)
         fetch_scalar(y[0, 0])
 
-    per = slope_time(chain, 4, 16)
-    return 2 * n**3 / per / 1e12
+    chain(2)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        chain(8)
+        t1 = time.perf_counter()
+        chain(40)
+        t2 = time.perf_counter()
+        best = min(best, ((t2 - t1) - (t1 - t0)) / 32)
+    return 2 * n**3 / best / 1e12
 
 
 def bench_cholesky(n, tile, dtype, precision, syrk_depth):
@@ -77,9 +87,12 @@ def bench_cholesky(n, tile, dtype, precision, syrk_depth):
 
     log(f"cholesky: n={n} tile={tile} dtype={dtype} precision={precision}")
     # SPD input generated on device (avoid a GiB-scale tunnel transfer)
-    x = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
-    a = (jnp.matmul(x, x.T, precision=jax.lax.Precision.DEFAULT) / n
-         + 2.0 * jnp.eye(n, dtype=jnp.float32)).astype(dtype)
+    def make_spd():
+        x = jax.random.normal(jax.random.PRNGKey(1), (n, n), jnp.float32)
+        return (jnp.matmul(x, x.T, precision=jax.lax.Precision.DEFAULT) / n
+                + 2.0 * jnp.eye(n, dtype=jnp.float32)).astype(dtype)
+
+    a = jax.jit(make_spd)()
     a.block_until_ready()
 
     body = fused_cholesky_fn(n, tile, syrk_depth=syrk_depth,
@@ -93,28 +106,40 @@ def bench_cholesky(n, tile, dtype, precision, syrk_depth):
         return body(a.at[diag, diag].add(t))
 
     def chain(k):
+        # keep only the perturbation scalar between iterations so at most
+        # one factor buffer is live (n=32768 fp32 buffers are 4 GiB each)
         t = jnp.zeros((), dtype)
-        l = None
         for _ in range(k):
             l = step(a, t)
             t = (l[0, 0] * 1e-30).astype(dtype)
-        fetch_scalar(l[0, 0])
+            del l
+        fetch_scalar(t)
 
-    per = slope_time(chain, 2, 6)
+    ks = (2, 6) if n <= 16384 else (1, 3)
+    per = slope_time(chain, *ks)
     flops = n**3 / 3
     tflops = flops / per / 1e12
-    # on-device residual: ||A - L L^T||_F / ||A||_F
+    # residual ||A - L L^T||_F / ||A||_F, accumulated over row blocks so the
+    # check fits in HBM at any n; measurement matmuls run at HIGHEST (must
+    # be more accurate than the factorization being measured)
     l = step(a, jnp.zeros((), dtype))
-    lf = l.astype(jnp.float32)
-    # measure the residual at HIGHEST precision — the measurement matmul
-    # must be more accurate than the factorization being measured
-    resid = fetch_scalar(
-        jnp.linalg.norm(
-            a.astype(jnp.float32)
-            - jnp.matmul(lf, lf.T, precision=jax.lax.Precision.HIGHEST)
-        )
-        / jnp.linalg.norm(a.astype(jnp.float32))
-    )
+    rb = min(n, 8192)
+
+    @jax.jit
+    def resid_sq(a, l):
+        num = jnp.zeros((), jnp.float32)
+        den = jnp.zeros((), jnp.float32)
+        lf = l.astype(jnp.float32)
+        for r0 in range(0, n, rb):
+            ab = jax.lax.dynamic_slice(a, (r0, 0), (rb, n)).astype(jnp.float32)
+            lb = jax.lax.dynamic_slice(lf, (r0, 0), (rb, n))
+            rec = jnp.matmul(lb, lf.T, precision=jax.lax.Precision.HIGHEST)
+            num += jnp.sum((ab - rec) ** 2)
+            den += jnp.sum(ab ** 2)
+        return num, den
+
+    num, den = resid_sq(a, l)
+    resid = (fetch_scalar(num) / fetch_scalar(den)) ** 0.5
     log(f"per-factorization: {per*1e3:.1f} ms  residual: {resid:.3e}")
     return tflops, per, {"residual_fro": resid}
 
@@ -142,19 +167,22 @@ def bench_gemm(n, tile, dtype, precision, syrk_depth):
     return 2 * n**3 / per / 1e12, per, {}
 
 
-def bench_tsqr(n, tile, dtype, precision, syrk_depth):
+def bench_tsqr(n, tile, dtype, precision, syrk_depth, method="cholqr2"):
     import jax
     import jax.numpy as jnp
 
-    from numpywren_tpu.compiler.lower import fused_tsqr_fn
+    from numpywren_tpu.compiler.lower import fused_cholqr2_fn, fused_tsqr_fn
 
     b = 512
     rows = n  # n = total rows
     n_leaves = max(1, rows // tile)
     rows = n_leaves * tile
-    log(f"tsqr: {rows}x{b}, {n_leaves} leaves of {tile} rows")
+    log(f"tsqr[{method}]: {rows}x{b}, {n_leaves} leaves of {tile} rows")
     a = (jax.random.normal(jax.random.PRNGKey(1), (rows, b)) * 0.1).astype(dtype)
-    body = fused_tsqr_fn(n_leaves, tile, b, precision=precision, dtype=dtype)
+    if method == "cholqr2":
+        body = fused_cholqr2_fn(precision=precision, dtype=dtype)
+    else:
+        body = fused_tsqr_fn(n_leaves, tile, b, precision=precision, dtype=dtype)
 
     @jax.jit
     def step(x, t):
@@ -169,8 +197,21 @@ def bench_tsqr(n, tile, dtype, precision, syrk_depth):
         fetch_scalar(r[0, 0])
 
     per = slope_time(chain, 2, 6)
-    flops = 2 * rows * b * b  # leaf QRs dominate
-    return flops / per / 1e12, per, {"rows": rows, "cols": b}
+    flops = (4 if method == "cholqr2" else 2) * rows * b * b
+    # correctness: ||R^T R - A^T A|| / ||A^T A|| (Gram parity, HIGHEST)
+    r = step(a, jnp.zeros((), dtype))
+
+    @jax.jit
+    def gram_err(a, r):
+        hp = jax.lax.Precision.HIGHEST
+        g = jnp.matmul(a.T, a, precision=hp)
+        g2 = jnp.matmul(r.T, r, precision=hp)
+        return jnp.linalg.norm(g2 - g) / jnp.linalg.norm(g)
+
+    err = fetch_scalar(gram_err(a, r))
+    log(f"gram relative error: {err:.3e}")
+    return flops / per / 1e12, per, {"rows": rows, "cols": b,
+                                     "method": method, "gram_rel_err": err}
 
 
 def main():

@@ -153,7 +153,8 @@ def gemm(A: MatLike, B: MatLike, tile=None, storage: str = "hbm"):
 # TSQR
 # ---------------------------------------------------------------------------
 
-def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm", compute_q: bool = False):
+def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm",
+         compute_q: bool = False, method: str = "tree"):
     """Tall-skinny QR via binary tree reduction (reference alg_wrappers.tsqr).
 
     X: (m, b) with m >> b; row blocks of `tile_rows` rows form the leaves.
@@ -193,6 +194,9 @@ def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm", compute_q: boo
         outputs["Q"] = q
     else:
         program = _template("tsqr").bind(A=a_t, Q0=q0, R=r, QT=qt, QB=qb, N=n_leaves, L=depth)
+    # fused-lowering knob: "tree" (robust combine tree) or "cholqr2"
+    # (GEMM-only CholeskyQR2, ~20x faster on the MXU, needs moderate kappa)
+    program.fused_options = {"tsqr_method": method}
     meta = {"n_leaves": n_leaves, "depth": depth, "tile_rows": tile_rows, "b": b, "logical_m": m}
     return program, outputs, meta
 

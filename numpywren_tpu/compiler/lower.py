@@ -104,8 +104,9 @@ def fused_cholesky_fn(
     tile: int,
     *,
     truncate: int = 0,
+    panel_tiles: int = 16,
     syrk_depth: int = 3,
-    leaf_rows: int = 2048,
+    leaf_rows: int = 4096,
     inv_panel: bool = True,
     precision=None,
     dtype=jnp.float32,
@@ -113,10 +114,14 @@ def fused_cholesky_fn(
 ) -> Callable:
     """Build the jittable in-place blocked Cholesky over a flat padded array.
 
-    Right-looking factorization, unrolled over the k panels at trace time so
-    every slice has static shape (XLA requirement; SURVEY §7 "no
-    data-dependent control flow inside jit"). Design choices measured on
-    chip (see bench.py):
+    TWO-LEVEL right-looking factorization, unrolled at trace time so every
+    slice has static shape (XLA requirement; SURVEY §7 "no data-dependent
+    control flow inside jit"): the inner loop factors one column super-panel
+    of `panel_tiles` tiles (tile potrf + tile inverse + narrow in-panel
+    updates), then ONE outer trailing update per super-panel runs with
+    contraction depth K = panel_tiles*tile — measured on chip, K=2048 GEMMs
+    sustain ~1.5x the throughput of K=512, and the big dynamic-update-slice
+    count drops 4x. Other measured choices:
 
     - panel op as explicit triangular inverse + GEMM (`inv_panel`): the
       tile inverse is one small solve; the panel apply becomes an MXU GEMM
@@ -132,58 +137,180 @@ def fused_cholesky_fn(
     if n_pad % tile != 0:
         raise ValueError(f"n_pad {n_pad} not a multiple of tile {tile}")
     g = n_pad // tile
-    steps = g - truncate
+    n_done = (g - truncate) * tile
+    w_max = max(1, panel_tiles) * tile
     if precision is None:
         precision = default_precision(dtype)
 
     def chol(a):
         eye = jnp.eye(tile, dtype=dtype)
-        for k in range(steps):
-            r0 = k * tile
-            r1 = (k + 1) * tile
-            akk = lax.dynamic_slice(a, (r0, r0), (tile, tile))
-            lkk = lax.linalg.cholesky(akk, symmetrize_input=False)
-            a = _dus(a, lkk, r0, r0)
-            rem = n_pad - r1
-            if rem == 0:
-                continue
-            # panel: X @ Lkk^T = A[r1:, r0:r1]
-            pan = lax.dynamic_slice(a, (r1, r0), (rem, tile))
-            if inv_panel:
-                w = lax.linalg.triangular_solve(lkk, eye, left_side=True, lower=True)
-                pan = _matmul(pan, w, tb=True, precision=precision, pallas=pallas)
-            else:
-                pan = lax.linalg.triangular_solve(
-                    lkk, pan, left_side=False, lower=True, transpose_a=True
-                )
-            a = _dus(a, pan.astype(a.dtype), r1, r0)
-            a = _syrk_tril(a, pan, r1, r1, rem, syrk_depth, tile,
-                           precision, pallas, leaf_rows)
+        for p0 in range(0, n_done, w_max):
+            pw = min(w_max, n_done - p0)
+            # ---- factor the super-panel [p0:, p0:p0+pw] tile by tile ----
+            for kk in range(pw // tile):
+                r0 = p0 + kk * tile
+                r1 = r0 + tile
+                akk = lax.dynamic_slice(a, (r0, r0), (tile, tile))
+                lkk = lax.linalg.cholesky(akk, symmetrize_input=False)
+                a = _dus(a, lkk, r0, r0)
+                rows = n_pad - r1
+                if rows == 0:
+                    continue
+                pan = lax.dynamic_slice(a, (r1, r0), (rows, tile))
+                if inv_panel:
+                    w = lax.linalg.triangular_solve(lkk, eye, left_side=True, lower=True)
+                    pan = _matmul(pan, w, tb=True, precision=precision, pallas=pallas)
+                else:
+                    pan = lax.linalg.triangular_solve(
+                        lkk, pan, left_side=False, lower=True, transpose_a=True
+                    )
+                a = _dus(a, pan.astype(a.dtype), r1, r0)
+                # in-panel trailing: remaining panel columns only
+                wrem = p0 + pw - r1
+                if wrem > 0:
+                    p_cols = lax.dynamic_slice(pan, (0, 0), (wrem, tile))
+                    s = lax.dynamic_slice(a, (r1, r1), (rows, wrem))
+                    upd = _matmul(pan, p_cols, tb=True, precision=precision, pallas=pallas)
+                    a = _dus(a, (s - upd).astype(a.dtype), r1, r1)
+            # ---- one outer trailing update, contraction depth pw ----
+            rem = n_pad - (p0 + pw)
+            if rem > 0:
+                pan_w = lax.dynamic_slice(a, (p0 + pw, p0), (rem, pw))
+                a = _syrk_tril(a, pan_w, p0 + pw, p0 + pw, rem, syrk_depth,
+                               tile, precision, pallas, leaf_rows)
         return jnp.tril(a) if truncate == 0 else a
 
     return chol
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_cholesky(n_pad, tile, truncate, syrk_depth, leaf_rows,
-                     inv_panel, precision, dtype):
+def _jitted_cholesky(n_pad, tile, truncate, panel_tiles, syrk_depth,
+                     leaf_rows, inv_panel, precision, dtype):
     fn = fused_cholesky_fn(
-        n_pad, tile, truncate=truncate, syrk_depth=syrk_depth,
-        leaf_rows=leaf_rows, inv_panel=inv_panel,
+        n_pad, tile, truncate=truncate, panel_tiles=panel_tiles,
+        syrk_depth=syrk_depth, leaf_rows=leaf_rows, inv_panel=inv_panel,
         precision=precision, dtype=dtype,
     )
     return jax.jit(fn, donate_argnums=(0,))
 
 
 def fused_cholesky(a: jax.Array, tile: int, *, truncate: int = 0,
-                   syrk_depth: int = 3, leaf_rows: int = 2048,
-                   inv_panel: bool = True, precision=None) -> jax.Array:
+                   panel_tiles: int = 16, syrk_depth: int = 3,
+                   leaf_rows: int = 4096, inv_panel: bool = True,
+                   precision=None) -> jax.Array:
     """One-call fused Cholesky on a flat padded array (donates its input)."""
     if precision is None:
         precision = default_precision(a.dtype)
-    fn = _jitted_cholesky(a.shape[0], tile, truncate, syrk_depth, leaf_rows,
-                          inv_panel, precision, a.dtype)
+    fn = _jitted_cholesky(a.shape[0], tile, truncate, panel_tiles, syrk_depth,
+                          leaf_rows, inv_panel, precision, a.dtype)
     return fn(a)
+
+
+# ---------------------------------------------------------------------------
+# BDFAC (block bidiagonalization)
+# ---------------------------------------------------------------------------
+
+def _geqrf(panel):
+    """Householder QR (V in the lower trapezoid + taus). jax only exports
+    the primitive privately (lax.linalg.qr is built on it); fall back to it
+    via the public qr_p lowering if the private name moves."""
+    try:
+        from jax._src.lax import linalg as _lxl
+
+        return _lxl.geqrf(panel)
+    except (ImportError, AttributeError):  # pragma: no cover - jax internals
+        from jax.lax.linalg import qr  # noqa: F401  (no Householder form)
+
+        raise NotImplementedError(
+            "jax geqrf unavailable; fused bdfac requires Householder QR"
+        )
+
+
+def _wy_t(v, tau, precision):
+    """Compact-WY block reflector: upper-triangular T with
+    Q = I - V T V^T for unit-lower-trapezoidal V and Householder taus.
+    Identity: T^{-1} = diag(1/tau) + striu(V^T V), so T is one small
+    triangular solve instead of a column-by-column recurrence."""
+    g = jnp.matmul(v.T, v, precision=precision)
+    dinv = jnp.where(tau != 0, 1.0 / jnp.where(tau != 0, tau, 1.0), 1e30)
+    m = jnp.triu(g, 1) + jnp.diag(dinv)
+    eye = jnp.eye(v.shape[1], dtype=v.dtype)
+    return lax.linalg.triangular_solve(m, eye, left_side=True, lower=False)
+
+
+def _panel_qr_update(panel, trailing, precision):
+    """QR-factor `panel` (rows x b) and apply the FULL orthogonal Q^T to
+    `trailing` (rows x c) via the blocked reflector (two large GEMMs):
+    returns (R, trailing')."""
+    b = panel.shape[1]
+    vr, tau = _geqrf(panel)
+    r = jnp.triu(vr[:b])
+    v = jnp.tril(vr, -1) + jnp.eye(vr.shape[0], b, dtype=vr.dtype)
+    t = _wy_t(v, tau, precision)
+    if trailing is not None and trailing.shape[1]:
+        w1 = jnp.matmul(v.T, trailing, precision=precision)     # (b, c)
+        w2 = jnp.matmul(t.T, w1, precision=precision)           # (b, c)
+        trailing = trailing - jnp.matmul(v, w2, precision=precision)
+    return r, trailing
+
+
+def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
+                   dtype=jnp.float32) -> Callable:
+    """Jittable block bidiagonalization over a flat padded array (the fused
+    lowering of algs.bdfac): per block column, a tall QR with compact-WY
+    trailing update (two MXU GEMMs), then a wide LQ (QR of the transpose)
+    on the row panel when >= 2 superdiagonal blocks remain — LAPACK gebrd
+    at block granularity. Returns fn(a) -> B (block upper bidiagonal with
+    the singular values of a)."""
+    if n_pad % tile != 0:
+        raise ValueError(f"n_pad {n_pad} not a multiple of tile {tile}")
+    g = n_pad // tile
+    if precision is None:
+        precision = default_precision(dtype)
+
+    def bdfac(a):
+        out = jnp.zeros_like(a)
+        for k in range(g):
+            c0, c1 = k * tile, (k + 1) * tile
+            rows = n_pad - c0
+            panel = lax.dynamic_slice(a, (c0, c0), (rows, tile))
+            cols_right = n_pad - c1
+            trailing = (
+                lax.dynamic_slice(a, (c0, c1), (rows, cols_right))
+                if cols_right else None
+            )
+            r, trailing = _panel_qr_update(panel, trailing, precision)
+            out = _dus(out, r.astype(out.dtype), c0, c0)
+            if cols_right == 0:
+                continue
+            if g - k - 1 >= 2:
+                # LQ on the row panel = QR of its transpose
+                row_pan = lax.dynamic_slice(trailing, (0, 0), (tile, cols_right))
+                body = lax.dynamic_slice(trailing, (tile, 0),
+                                         (rows - tile, cols_right))
+                l_t, body_t = _panel_qr_update(
+                    row_pan.T, body.T if rows - tile else None, precision
+                )
+                out = _dus(out, l_t.T.astype(out.dtype), c0, c1)
+                a = _dus(a, body_t.T.astype(a.dtype), c1, c1)
+            else:
+                # single superdiagonal block: lands in out as-is
+                out = _dus(out, trailing[:tile].astype(out.dtype), c0, c1)
+                a = _dus(a, trailing[tile:].astype(a.dtype), c1, c1)
+        return out
+
+    return bdfac
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_bdfac(n_pad, tile, precision, dtype):
+    return jax.jit(fused_bdfac_fn(n_pad, tile, precision=precision, dtype=dtype))
+
+
+def fused_bdfac(a: jax.Array, tile: int, *, precision=None) -> jax.Array:
+    if precision is None:
+        precision = default_precision(a.dtype)
+    return _jitted_bdfac(a.shape[0], tile, precision, a.dtype)(a)
 
 
 # ---------------------------------------------------------------------------
@@ -199,6 +326,37 @@ def fused_gemm(a: jax.Array, b: jax.Array, *, precision=None) -> jax.Array:
 # ---------------------------------------------------------------------------
 # TSQR
 # ---------------------------------------------------------------------------
+
+def fused_cholqr2_fn(compute_q: bool = False, precision=None,
+                     dtype=jnp.float32) -> Callable:
+    """CholeskyQR2: the MXU-native tall-skinny QR. XLA's Householder QR runs
+    at ~2 TFLOP/s on TPU (panel-bound); CholeskyQR is two GEMMs + one tiny
+    b x b Cholesky, and doubling it (QR2) restores fp32-grade orthogonality
+    (classic result: one pass loses kappa(A)^2 digits in the Gram matrix,
+    the second pass starts from kappa ~ 1). Requires kappa(A) well below
+    ~1/sqrt(eps_work); the tree path (fused_tsqr_fn) covers the rest.
+
+    Returns fn(a) -> R (or (Q, R)) for a tall-skinny (m, b) array."""
+    if precision is None:
+        precision = default_precision(dtype)
+
+    def one_pass(x):
+        g = jnp.matmul(x.T, x, precision=precision)
+        l = lax.linalg.cholesky(g, symmetrize_input=False)
+        w = lax.linalg.triangular_solve(
+            l, jnp.eye(l.shape[0], dtype=x.dtype), left_side=True, lower=True
+        )
+        q = jnp.matmul(x, w.T, precision=precision)  # X L^{-T}
+        return q, l
+
+    def f(a):
+        q1, l1 = one_pass(a)
+        q2, l2 = one_pass(q1)
+        r = jnp.matmul(l2.T, l1.T, precision=precision)  # R = R2 R1
+        return (q2, r) if compute_q else r
+
+    return f
+
 
 def fused_tsqr_fn(n_leaves: int, tile_rows: int, b: int, *,
                   compute_q: bool = False, precision=None, dtype=jnp.float32):
@@ -253,21 +411,27 @@ def fused_tsqr_fn(n_leaves: int, tile_rows: int, b: int, *,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_tsqr(n_leaves, tile_rows, b, compute_q, precision, dtype):
-    return jax.jit(
-        fused_tsqr_fn(n_leaves, tile_rows, b, compute_q=compute_q,
-                      precision=precision, dtype=dtype)
-    )
+def _jitted_tsqr(n_leaves, tile_rows, b, compute_q, precision, dtype, method):
+    if method == "cholqr2":
+        fn = fused_cholqr2_fn(compute_q=compute_q, precision=precision, dtype=dtype)
+    else:
+        fn = fused_tsqr_fn(n_leaves, tile_rows, b, compute_q=compute_q,
+                           precision=precision, dtype=dtype)
+    return jax.jit(fn)
 
 
 def fused_tsqr(a: jax.Array, tile_rows: int, *, compute_q: bool = False,
-               precision=None):
+               precision=None, method: str = "tree"):
+    """Tall-skinny QR. method="tree" (Householder combine tree — robust for
+    any conditioning) or "cholqr2" (two GEMM passes — ~20x faster on the
+    MXU, needs kappa(A) well below 1/sqrt(eps))."""
     m, b = a.shape
     if m % tile_rows != 0:
         raise ValueError(f"rows {m} not a multiple of tile_rows {tile_rows}")
     if precision is None:
         precision = default_precision(a.dtype)
-    fn = _jitted_tsqr(m // tile_rows, tile_rows, b, compute_q, precision, a.dtype)
+    fn = _jitted_tsqr(m // tile_rows, tile_rows, b, compute_q, precision,
+                      a.dtype, method)
     return fn(a)
 
 
@@ -286,6 +450,8 @@ def lower_fused(program) -> Optional[Callable[[], None]]:
         return lambda: _run_fused_gemm(program)
     if name in ("tsqr", "tsqr_q"):
         return lambda: _run_fused_tsqr(program, compute_q=(name == "tsqr_q"))
+    if name == "bdfac":
+        return lambda: _run_fused_bdfac(program)
     return None
 
 
@@ -314,6 +480,14 @@ def _run_fused_cholesky(program):
         s.replace_array(jnp.where(mask_cols[None, :], 0.0, l).astype(l.dtype))
 
 
+def _run_fused_bdfac(program):
+    s = _hbm(program, "S")
+    b = _hbm(program, "B")
+    out = fused_bdfac(s.array, s.tile[0])
+    b.replace_array(out.astype(b.dtype))
+    s.free()
+
+
 def _run_fused_gemm(program):
     a = _hbm(program, "A")
     b = _hbm(program, "B")
@@ -328,13 +502,14 @@ def _run_fused_tsqr(program, compute_q: bool):
     depth = program.consts["L"]
     tile_rows = a.tile[0]
     b = a.tile[1]
+    method = getattr(program, "fused_options", {}).get("tsqr_method", "tree")
     arr = a.array[: n_leaves * tile_rows, :b]
     if compute_q:
-        q_arr, r_final = fused_tsqr(arr, tile_rows, compute_q=True)
+        q_arr, r_final = fused_tsqr(arr, tile_rows, compute_q=True, method=method)
         q_mat = _hbm(program, "Q")
         pad = jnp.zeros(q_mat.padded_shape, q_mat.dtype)
         q_mat.replace_array(lax.dynamic_update_slice(pad, q_arr.astype(q_mat.dtype), (0, 0)))
     else:
-        r_final = fused_tsqr(arr, tile_rows, compute_q=False)
+        r_final = fused_tsqr(arr, tile_rows, compute_q=False, method=method)
     # final R lives at block (0, depth) of the R matrix (algs.tsqr layout)
     r_mat.put_block(r_final.astype(r_mat.dtype), 0, depth)

@@ -94,3 +94,25 @@ def test_bdfac_rejects_nonsquare(rng):
 
     with pytest.raises(ShapeError):
         npw.bdfac(x, tile=(32, 32))
+
+
+@pytest.mark.parametrize("n_tiles", [1, 2, 3, 5])
+def test_bdfac_fused(rng, n_tiles):
+    """The fused compact-WY lowering preserves singular values and the
+    block-bidiagonal structure (lower_fused path)."""
+    t = 16
+    x = rng.standard_normal((n_tiles * t, n_tiles * t)).astype(np.float32)
+    prog, b, meta = npw.bdfac(x, tile=(t, t))
+    npw.run_program(prog, executor="fused")
+    _bidiag_checks(b, x, n_tiles, t)
+
+
+def test_fused_bdfac_array_level(rng):
+    from numpywren_tpu.compiler.lower import fused_bdfac
+    import jax.numpy as jnp
+
+    x = rng.standard_normal((128, 128)).astype(np.float32)
+    bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=32))
+    sv_in = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    sv_out = np.linalg.svd(bd.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(sv_out, sv_in, rtol=1e-3, atol=1e-3)

@@ -166,3 +166,32 @@ def scale_all(A, B, N):
     prog = t.bind(A=a, B=b, N=2)
     npw.run_program(prog, executor="auto")
     np.testing.assert_allclose(b.numpy(), arr)
+
+
+@pytest.mark.parametrize("compute_q", [False, True])
+def test_cholqr2(rng, compute_q):
+    """CholeskyQR2 path: Gram parity + orthogonality on well-conditioned
+    input (the MXU-native tall-skinny QR; tree path covers ill-conditioned)."""
+    import jax.numpy as jnp
+
+    a = rng.standard_normal((8 * 64, 32)).astype(np.float32)
+    out = fused_tsqr(jnp.asarray(a), tile_rows=64, compute_q=compute_q,
+                     method="cholqr2")
+    if compute_q:
+        q, r = (np.asarray(x) for x in out)
+        np.testing.assert_allclose(q @ r, a, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(q.T @ q, np.eye(32), atol=1e-4)
+    else:
+        r = np.asarray(out)
+        np.testing.assert_allclose(r.T @ r, a.T @ a, rtol=1e-3, atol=1e-2)
+
+
+def test_program_tsqr_cholqr2(rng):
+    a = rng.standard_normal((6 * 64, 32)).astype(np.float32)
+    prog, outs, meta = npw.tsqr(a, tile_rows=64, method="cholqr2", compute_q=True)
+    npw.run_program(prog, executor="fused")
+    from numpywren_tpu.alg_wrappers import tsqr_r_factor
+
+    q = outs["Q"].numpy()[: a.shape[0]]
+    r = tsqr_r_factor(outs)
+    np.testing.assert_allclose(q @ r, a, rtol=1e-3, atol=1e-3)
