@@ -301,6 +301,72 @@ class JaxTaskExecutor:
         return PS.SUCCESS
 
 
+class SpillTaskExecutor:
+    """Generic static-schedule executor for HOST-RESIDENT matrices: per
+    wavefront level, gather the level's input tiles host->device, run the
+    batched kernels on-chip, scatter outputs back to the host tier. The
+    whole working set never needs to fit in HBM — this is the arbitrary-
+    program analog of runtime.spill's Cholesky streaming (BASELINE config
+    #5), and the closest structural relative of the reference worker loop
+    (read blocks -> kernel -> write blocks, job_runner.py) with the chip as
+    the worker."""
+
+    def __init__(self, program: TiledProgram, precision=None):
+        self.program = program
+        self.precision = precision
+
+    def run(self) -> PS:
+        import jax.numpy as jnp
+
+        from numpywren_tpu.ops.common import default_precision
+
+        program = self.program
+        precision = self.precision
+        if precision is None:
+            any_m = next(iter(program.matrices.values())).matrix
+            precision = default_precision(any_m.dtype)
+        kers = _batched_kernels(precision)
+        nodes = program.dag.nodes
+
+        program.start()
+        for level in program.levels:
+            groups: Dict = {}
+            for nid in level:
+                n = nodes[nid]
+                groups.setdefault((n.stmt_id, n.consts), []).append(n)
+            for (_, consts), group in sorted(groups.items(), key=lambda kv: kv[0]):
+                ins = []
+                c_pos = 0
+                for pos, kind in enumerate(group[0].input_kinds):
+                    if kind == "const":
+                        ins.append(consts[c_pos])
+                        c_pos += 1
+                    else:
+                        b_pos = sum(1 for k in group[0].input_kinds[:pos] if k == "block")
+                        tiles = [
+                            np.asarray(
+                                program.matrices[n.reads[b_pos][0]].matrix.get_block(
+                                    n.reads[b_pos][1], n.reads[b_pos][2]
+                                )
+                            )
+                            for n in group
+                        ]
+                        ins.append(jnp.asarray(np.stack(tiles)))
+                outs = kers[group[0].op](*ins)
+                if not isinstance(outs, tuple):
+                    outs = (outs,)
+                for w_pos, out in enumerate(outs):
+                    host = np.asarray(out)
+                    for i, n in enumerate(group):
+                        name, bi, bj = n.writes[w_pos]
+                        program.matrices[name].matrix.put_block(host[i], bi, bj)
+            for nid in level:
+                program.node_status[nid] = NS.FINISHED
+                program._finished_count += 1
+        program.program_status = PS.SUCCESS
+        return PS.SUCCESS
+
+
 def _mark_success(program: TiledProgram):
     """Fused lowerings complete atomically; sync the state machine (parity
     with the node-level path so wait()/get_node_status keep working)."""
@@ -341,6 +407,8 @@ def run_program(
         executor = "jax"
     if executor == "jax":
         return JaxTaskExecutor(program, **kw).run()
+    if executor == "spill":
+        return SpillTaskExecutor(program, **kw).run()
     if executor == "local":
         return LocalExecutor(program, num_workers=num_workers, **kw).run()
     raise ValueError(f"unknown executor {executor!r}")

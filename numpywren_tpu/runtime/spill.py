@@ -96,10 +96,13 @@ def out_of_core_cholesky(
     precision=None,
     checkpoint_dir: Optional[str] = None,
     out: Optional[TiledMatrix] = None,
+    cache_bytes: int = 0,
 ) -> TiledMatrix:
     """Left-looking blocked Cholesky of a host-tier SPD TiledMatrix.
 
-    Only ~2 column super-panels are device-resident at any time; works for
+    Only ~2 column super-panels are device-resident at any time (plus an
+    optional `cache_bytes`-capped LRU of already-uploaded L strips — the
+    reference worker's block cache, job_runner cache_size); works for
     matrices larger than HBM (BASELINE config #5). Returns a host-tier L.
     """
     import jax
@@ -107,6 +110,7 @@ def out_of_core_cholesky(
 
     from numpywren_tpu.compiler.lower import fused_cholesky_fn
     from numpywren_tpu.ops.common import default_precision
+    from numpywren_tpu.utils import LRUCache
 
     if a.shape[0] != a.shape[1] or a.tile[0] != a.tile[1]:
         raise ShapeError("out_of_core_cholesky needs a square matrix / square tiles")
@@ -149,6 +153,27 @@ def out_of_core_cholesky(
             ld, rest, left_side=False, lower=True, transpose_a=True)
         return jnp.concatenate([ld, rest], axis=0)
 
+    # device-side LRU of uploaded L strips, keyed by source panel q; each
+    # strip is cached at its first (tallest) use, later panels slice a suffix
+    cache = LRUCache(cache_bytes) if cache_bytes > 0 else None
+    a.load_count = getattr(a, "load_count", 0)
+
+    def load_strip(q: int, c0_t: int, rows_t: int, q_w: int):
+        if cache is not None:
+            hit = cache.get(q)
+            if hit is not None:
+                row0_t, arr = hit
+                if row0_t <= c0_t:
+                    return lax_slice_rows(arr, (c0_t - row0_t) * t, rows_t * t)
+        a.load_count += 1
+        arr = jnp.asarray(_panel_from_host(l_out, c0_t, q * panel_tiles, rows_t, q_w))
+        if cache is not None:
+            cache.put(q, (c0_t, arr))
+        return arr
+
+    def lax_slice_rows(arr, r0, nrows):
+        return jax.lax.dynamic_slice(arr, (r0, 0), (nrows, arr.shape[1]))
+
     for s in range(start_panel, n_panels):
         c0 = s * panel_tiles
         w_t = min(panel_tiles, g - c0)          # panel width in tiles
@@ -158,9 +183,8 @@ def out_of_core_cholesky(
         panel = jnp.asarray(host_panel)
         # stream updates from previously factored panels
         for q in range(s):
-            q0 = q * panel_tiles
-            q_w = min(panel_tiles, g - q0)
-            l_strip = jnp.asarray(_panel_from_host(l_out, c0, q0, rows_t, q_w))
+            q_w = min(panel_tiles, g - q * panel_tiles)
+            l_strip = load_strip(q, c0, rows_t, q_w)
             l_top = l_strip[: w_t * t]           # rows of the panel's columns
             panel = update(panel, l_strip, l_top)
         panel = factor_panel(panel)

@@ -54,3 +54,48 @@ def product_range(bounds: Iterable[Tuple[int, int]]) -> Iterator[Tuple[int, ...]
     """Cartesian product over [lo, hi) ranges."""
     ranges = [range(lo, hi) for lo, hi in bounds]
     return itertools.product(*ranges)
+
+
+class LRUCache:
+    """Bytes-capped LRU cache (the reference worker's per-process block cache,
+    upstream:numpywren/job_runner.py cache_size — there it avoids S3
+    re-reads; here the spill executor uses it to avoid host->HBM re-uploads
+    of L panel strips)."""
+
+    def __init__(self, max_bytes: int, size_fn=None):
+        import collections
+
+        self.max_bytes = max_bytes
+        self.size_fn = size_fn or (lambda v: getattr(v, "nbytes", 0))
+        self._d = collections.OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        if key in self._d:
+            self._d.move_to_end(key)
+            self.hits += 1
+            return self._d[key]
+        self.misses += 1
+        return None
+
+    def put(self, key, value):
+        size = self.size_fn(value)
+        if size > self.max_bytes:
+            return  # larger than the whole cache: don't thrash
+        old = self._d.pop(key, None)
+        if old is not None:
+            self._bytes -= self.size_fn(old)
+        self._d[key] = value
+        self._bytes += size
+        while self._bytes > self.max_bytes and self._d:
+            _, ev = self._d.popitem(last=False)
+            self._bytes -= self.size_fn(ev)
+
+    def __len__(self):
+        return len(self._d)
+
+    @property
+    def nbytes(self):
+        return self._bytes

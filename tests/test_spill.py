@@ -70,3 +70,63 @@ def test_ooc_matches_fused():
     prog, l_f, _ = npw.cholesky(a, tile=(32, 32))
     npw.run_program(prog, executor="fused")
     np.testing.assert_allclose(l_ooc, l_f.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_ooc_strip_cache():
+    """cache_bytes > 0 caches uploaded L strips (reference LRU block cache):
+    fewer host loads, identical result."""
+    a = random_spd(256, seed=4)
+    at1 = shard_matrix(a, tile=(32, 32), storage="host")
+    l1 = out_of_core_cholesky(at1, panel_tiles=2)
+    loads_nocache = at1.load_count
+    at2 = shard_matrix(a, tile=(32, 32), storage="host")
+    l2 = out_of_core_cholesky(at2, panel_tiles=2, cache_bytes=1 << 30)
+    loads_cache = at2.load_count
+    np.testing.assert_allclose(np.tril(l1.numpy()), np.tril(l2.numpy()),
+                               rtol=1e-5, atol=1e-6)
+    assert loads_cache < loads_nocache
+    ln = np.tril(l2.numpy())
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-5
+
+
+def test_lru_cache_unit():
+    from numpywren_tpu.utils import LRUCache
+
+    c = LRUCache(max_bytes=100, size_fn=lambda v: v)
+    c.put("a", 40)
+    c.put("b", 40)
+    assert c.get("a") == 40          # refresh a
+    c.put("c", 40)                    # evicts b (LRU)
+    assert c.get("b") is None
+    assert c.get("a") == 40 and c.get("c") == 40
+    c.put("huge", 1000)               # larger than cache: ignored
+    assert len(c) == 2
+
+
+def test_spill_task_executor_arbitrary_program():
+    """Generic host-resident programs stream tiles through the device per
+    wavefront level (executor='spill'): bdfac + cholesky + gemm on host tier."""
+    import numpywren_tpu as npw
+    import scipy.linalg
+
+    rng = np.random.default_rng(5)
+    # cholesky
+    a = random_spd(128, seed=6)
+    prog, l, _ = npw.cholesky(a, tile=(32, 32), storage="host")
+    npw.run_program(prog, executor="spill")
+    ln = np.tril(l.numpy())
+    assert np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a) < 1e-4
+    # gemm
+    x = rng.standard_normal((96, 64)).astype(np.float32)
+    y = rng.standard_normal((64, 96)).astype(np.float32)
+    prog, c, _ = npw.gemm(x, y, tile=(32, 32), storage="host")
+    npw.run_program(prog, executor="spill")
+    np.testing.assert_allclose(c.numpy(), x @ y, rtol=1e-4, atol=1e-4)
+    # bdfac (arbitrary multi-output program)
+    z = rng.standard_normal((96, 96)).astype(np.float32)
+    prog, b, _ = npw.bdfac(z, tile=(32, 32), storage="host")
+    npw.run_program(prog, executor="spill")
+    sv_in = np.linalg.svd(z.astype(np.float64), compute_uv=False)
+    sv_out = np.linalg.svd(b.numpy().astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(sv_out, sv_in, rtol=1e-3, atol=1e-3)
