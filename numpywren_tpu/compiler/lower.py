@@ -104,7 +104,7 @@ def fused_cholesky_fn(
     tile: int,
     *,
     truncate: int = 0,
-    panel_tiles: int = 16,
+    panel_tiles: int = 8,
     syrk_depth: int = 3,
     leaf_rows: int = 4096,
     inv_panel: bool = True,
@@ -114,25 +114,30 @@ def fused_cholesky_fn(
 ) -> Callable:
     """Build the jittable in-place blocked Cholesky over a flat padded array.
 
-    TWO-LEVEL right-looking factorization, unrolled at trace time so every
+    Super-panel right-looking factorization, unrolled at trace time so every
     slice has static shape (XLA requirement; SURVEY §7 "no data-dependent
-    control flow inside jit"): the inner loop factors one column super-panel
-    of `panel_tiles` tiles (tile potrf + tile inverse + narrow in-panel
-    updates), then ONE outer trailing update per super-panel runs with
-    contraction depth K = panel_tiles*tile — measured on chip, K=2048 GEMMs
-    sustain ~1.5x the throughput of K=512, and the big dynamic-update-slice
-    count drops 4x. Other measured choices:
+    control flow inside jit"). Per super-panel of W = panel_tiles*tile
+    columns, three measured-on-chip design choices:
 
-    - panel op as explicit triangular inverse + GEMM (`inv_panel`): the
-      tile inverse is one small solve; the panel apply becomes an MXU GEMM
-      with a precision knob, ~3x faster than the long-rhs triangular_solve.
-    - trailing update via _syrk_tril: recursive lower-triangle-only syrk —
-      big off-diagonal GEMMs, bounded full-square waste at the leaves.
-    - potrf reads only the lower triangle (symmetrize_input=False): the
-      strictly-upper region of a diagonal tile may hold stale values.
+    1. the W x W diagonal block factors with ONE lax.linalg.cholesky call
+       (XLA's internal blocking is MXU-efficient and its cost is near-flat
+       in W up to ~4096 — one big call beats W/tile small potrf+trtri steps
+       plus their narrow in-panel updates by ~2x end to end);
+    2. the below-panel solve B := B L^{-T} is a recursive GEMM-rich trsm
+       (`rtrsm`): half the flops per level land in one (rows x W/2) MXU
+       GEMM; only tile-sized leaves touch triangular_solve (explicit tile
+       inverse when `inv_panel`, the MAGMA trick);
+    3. ONE outer trailing update per super-panel via _syrk_tril (recursive
+       lower-triangle-only syrk, contraction depth K = W — K=4096 GEMMs
+       sustain ~1.5x the throughput of K=512 on the MXU).
+
+    potrf reads only the lower triangle (symmetrize_input=False): the
+    strictly-upper region of diagonal tiles may hold stale values.
 
     Returns fn(a) -> l where `a` is the (n_pad, n_pad) SPD array and `l` the
-    lower-triangular factor (upper triangle zeroed).
+    lower-triangular factor (upper triangle zeroed). At N=32768 fp32/HIGH
+    this runs at ~62% of the same-precision matmul speed of light with
+    residual ~4e-6 (see BENCH notes / bench.py).
     """
     if n_pad % tile != 0:
         raise ValueError(f"n_pad {n_pad} not a multiple of tile {tile}")
@@ -142,42 +147,47 @@ def fused_cholesky_fn(
     if precision is None:
         precision = default_precision(dtype)
 
+    def rtrsm(b, l, w):
+        """b := b @ l^{-T} for lower-triangular l (w x w), recursively:
+        half the flops land in one (rows x w/2) @ (w/2 x w/2) MXU GEMM per
+        level; leaves solve against one tile via its explicit inverse
+        (tile-sized trtri — numerically equivalent to the reference's
+        per-tile trsm)."""
+        if w <= tile:
+            if inv_panel:
+                winv = lax.linalg.triangular_solve(
+                    l, jnp.eye(w, dtype=dtype), left_side=True, lower=True
+                )
+                return _matmul(b, winv, tb=True, precision=precision, pallas=pallas)
+            return lax.linalg.triangular_solve(
+                l, b, left_side=False, lower=True, transpose_a=True
+            )
+        h = (w // 2 + tile - 1) // tile * tile
+        b1 = rtrsm(b[:, :h], l[:h, :h], h)
+        b2 = b[:, h:] - _matmul(b1, l[h:, :h], tb=True,
+                                precision=precision, pallas=pallas)
+        b2 = rtrsm(b2, l[h:, h:], w - h)
+        return jnp.concatenate([b1, b2], axis=1)
+
     def chol(a):
-        eye = jnp.eye(tile, dtype=dtype)
         for p0 in range(0, n_done, w_max):
             pw = min(w_max, n_done - p0)
-            # ---- factor the super-panel [p0:, p0:p0+pw] tile by tile ----
-            for kk in range(pw // tile):
-                r0 = p0 + kk * tile
-                r1 = r0 + tile
-                akk = lax.dynamic_slice(a, (r0, r0), (tile, tile))
-                lkk = lax.linalg.cholesky(akk, symmetrize_input=False)
-                a = _dus(a, lkk, r0, r0)
-                rows = n_pad - r1
-                if rows == 0:
-                    continue
-                pan = lax.dynamic_slice(a, (r1, r0), (rows, tile))
-                if inv_panel:
-                    w = lax.linalg.triangular_solve(lkk, eye, left_side=True, lower=True)
-                    pan = _matmul(pan, w, tb=True, precision=precision, pallas=pallas)
-                else:
-                    pan = lax.linalg.triangular_solve(
-                        lkk, pan, left_side=False, lower=True, transpose_a=True
-                    )
-                a = _dus(a, pan.astype(a.dtype), r1, r0)
-                # in-panel trailing: remaining panel columns only
-                wrem = p0 + pw - r1
-                if wrem > 0:
-                    p_cols = lax.dynamic_slice(pan, (0, 0), (wrem, tile))
-                    s = lax.dynamic_slice(a, (r1, r1), (rows, wrem))
-                    upd = _matmul(pan, p_cols, tb=True, precision=precision, pallas=pallas)
-                    a = _dus(a, (s - upd).astype(a.dtype), r1, r1)
-            # ---- one outer trailing update, contraction depth pw ----
+            # ---- diagonal block: ONE blocked cholesky (XLA's internal
+            # blocking is MXU-efficient and near-flat in cost up to ~4096,
+            # measured on chip) ----
+            d = lax.dynamic_slice(a, (p0, p0), (pw, pw))
+            ld = lax.linalg.cholesky(d, symmetrize_input=False)
+            a = _dus(a, ld.astype(a.dtype), p0, p0)
             rem = n_pad - (p0 + pw)
-            if rem > 0:
-                pan_w = lax.dynamic_slice(a, (p0 + pw, p0), (rem, pw))
-                a = _syrk_tril(a, pan_w, p0 + pw, p0 + pw, rem, syrk_depth,
-                               tile, precision, pallas, leaf_rows)
+            if rem == 0:
+                continue
+            # ---- below-panel solve: recursive GEMM-rich trsm ----
+            b = lax.dynamic_slice(a, (p0 + pw, p0), (rem, pw))
+            b = rtrsm(b, ld, pw)
+            a = _dus(a, b.astype(a.dtype), p0 + pw, p0)
+            # ---- one outer trailing update, contraction depth pw ----
+            a = _syrk_tril(a, b, p0 + pw, p0 + pw, rem, syrk_depth,
+                           tile, precision, pallas, leaf_rows)
         return jnp.tril(a) if truncate == 0 else a
 
     return chol
@@ -195,7 +205,7 @@ def _jitted_cholesky(n_pad, tile, truncate, panel_tiles, syrk_depth,
 
 
 def fused_cholesky(a: jax.Array, tile: int, *, truncate: int = 0,
-                   panel_tiles: int = 16, syrk_depth: int = 3,
+                   panel_tiles: int = 8, syrk_depth: int = 3,
                    leaf_rows: int = 4096, inv_panel: bool = True,
                    precision=None) -> jax.Array:
     """One-call fused Cholesky on a flat padded array (donates its input)."""
@@ -462,7 +472,43 @@ def _hbm(program, name):
     return ba.matrix
 
 
+def _hbm_budget_bytes() -> int:
+    """Usable HBM (fraction of the device limit per config.spill_threshold);
+    generous fallback when the backend exposes no memory stats (CPU tests)."""
+    from numpywren_tpu.config import default_config
+
+    cfg = default_config()
+    if cfg.hbm_budget_bytes:
+        return int(cfg.hbm_budget_bytes * cfg.spill_threshold)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return int(limit * cfg.spill_threshold)
+    except Exception:
+        pass
+    return 1 << 62
+
+
 def _run_fused_cholesky(program):
+    # out-of-HBM dispatch: a host-tier input too big for the chip streams
+    # through runtime.spill instead of being promoted wholesale
+    s_ba = program.matrices["S"]
+    truncate0 = program.consts.get("truncate", 0)
+    if s_ba.matrix.storage == "host" and truncate0 == 0:
+        m = s_ba.matrix
+        pm, pn = m.padded_shape
+        # fused needs ~3 full copies resident (input+output+workspace)
+        if 3 * pm * pn * m.dtype.itemsize > _hbm_budget_bytes():
+            from numpywren_tpu.runtime.spill import out_of_core_cholesky
+
+            o_host = program.matrices["O"].matrix
+            if o_host.storage != "host":
+                o_host = o_host.to_host()
+                program.matrices["O"].matrix = o_host
+            out_of_core_cholesky(m, out=o_host)
+            return
+
     s = _hbm(program, "S")
     o = _hbm(program, "O")
     truncate = program.consts.get("truncate", 0)

@@ -48,6 +48,27 @@ def log_program(program, logger_=None):
         lg.info("npw-step %s", json.dumps(rec))
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str] = None):
+    """jax.profiler trace around a region (SURVEY §5: the rebuild's external
+    tracer; the reference had only its Redis counters). No-op when no
+    log_dir is given or the profiler is unavailable."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    try:
+        with jax.profiler.trace(log_dir):
+            yield
+    except Exception:
+        logger.warning("jax.profiler.trace unavailable; running untraced")
+        yield
+
+
 class FlopMeter:
     """Wall-clock + known-flops meter for fused single-program runs.
 

@@ -130,3 +130,21 @@ def test_spill_task_executor_arbitrary_program():
     sv_in = np.linalg.svd(z.astype(np.float64), compute_uv=False)
     sv_out = np.linalg.svd(b.numpy().astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(sv_out, sv_in, rtol=1e-3, atol=1e-3)
+
+
+def test_auto_dispatches_to_ooc(monkeypatch):
+    """run_program('auto') on a host-tier matrix that exceeds the HBM budget
+    must stream out-of-core instead of promoting to HBM."""
+    import numpywren_tpu as npw
+    from numpywren_tpu import config
+
+    a = random_spd(128, seed=7)
+    at = shard_matrix(a, tile=(32, 32), storage="host")
+    cfg = config.NpwConfig(hbm_budget_bytes=1024)  # absurdly small budget
+    monkeypatch.setattr(config, "_default", cfg)
+    prog, l, _ = npw.cholesky(at, tile=(32, 32), storage="host")
+    npw.run_program(prog, executor="auto")
+    assert l.storage == "host"  # never promoted
+    ln = np.tril(l.numpy())
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-4
