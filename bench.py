@@ -148,14 +148,16 @@ def bench_gemm(n, tile, dtype, precision, syrk_depth):
     import jax
     import jax.numpy as jnp
 
-    from numpywren_tpu.ops.gemm import matmul
+    from numpywren_tpu.compiler.lower import _matmul
 
     log(f"gemm: n={n} tile={tile} dtype={dtype} precision={precision}")
     a = (jax.random.normal(jax.random.PRNGKey(1), (n, n)) * 0.01).astype(dtype)
 
     @jax.jit
     def step(x, y):
-        return matmul(x, y, bm=tile, bn=tile, bk=tile, precision=precision)
+        # same dispatch as the fused lowering: Pallas for DEFAULT/HIGHEST,
+        # XLA dot for HIGH (Mosaic has no 3-pass mode)
+        return _matmul(x, y, precision=precision) * 0.01
 
     def chain(k):
         y = a
