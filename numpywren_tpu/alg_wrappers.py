@@ -13,7 +13,7 @@ device copy), while the host/local path keeps the lazy parent_fn semantics.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Tuple, Union
 
 import numpy as np
 

@@ -12,13 +12,13 @@ tiles contiguous in ONE flat padded jax.Array, a whole panel / trailing
 region is a zero-copy slice, so the wavefront schedule of the flagship
 algorithms lowers to a handful of large fused MXU ops per step:
 
-- Cholesky step k: potrf(tile) -> panel trsm -> trailing syrk, where the
-  trailing update runs over column super-panels so only the lower triangle
-  is computed (the DSL's j <= i loop), keeping useful-flop efficiency while
-  every GEMM stays MXU-sized.
+- Cholesky: per column super-panel, one blocked diagonal potrf + a
+  recursive GEMM-rich trsm + one lower-triangle-only trailing syrk
+  (see fused_cholesky_fn for the measured design rationale).
 - GEMM: one matmul over the flat arrays.
-- TSQR: the tile column reshaped to a (leaves, rows, b) stack, leaf QRs
-  batched with vmap, the combine tree unrolled with static halving.
+- TSQR: batched leaf QRs + a static halving combine tree, or CholeskyQR2
+  (two GEMM passes) for well-conditioned inputs.
+- BDFAC: compact-WY blocked Householder sweeps (QR columns / LQ rows).
 
 Everything here traces into one jit per program — no host round trips
 between steps (the inversion of the reference's per-task SQS/Redis round
@@ -32,8 +32,7 @@ has no fused specialization (the generic executor then runs it).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

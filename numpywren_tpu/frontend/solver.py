@@ -19,12 +19,11 @@ the 2**level TSQR tree).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import sympy
 
-from numpywren_tpu.exceptions import CompilationError
-from numpywren_tpu.frontend.ir import BlockRef, ConstRef, KernelCall, ProgramTemplate
+from numpywren_tpu.frontend.ir import BlockRef, KernelCall, ProgramTemplate
 
 
 class DependencySolver:

@@ -10,7 +10,6 @@ from typing import Optional, Tuple
 import numpy as np
 
 from numpywren_tpu.tiled import TiledMatrix, TiledSymmetricMatrix
-from numpywren_tpu.utils import round_up
 
 
 def shard_matrix(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from numpywren_tpu.ops.common import cdiv, default_precision, interpret_default, pick_block
+from numpywren_tpu.ops.common import default_precision, interpret_default, pick_block
 
 
 def _mm_kernel(ta, tb, alpha, beta, has_c, nk, precision, out_dtype):

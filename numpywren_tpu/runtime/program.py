@@ -16,7 +16,7 @@ from __future__ import annotations
 import enum
 import threading
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 from numpywren_tpu import kernels
 from numpywren_tpu.compiler.schedule import ScheduledDAG

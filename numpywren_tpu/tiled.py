@@ -24,12 +24,12 @@ submatrix / .T / free, plus parent_fn lazy aliasing.
 from __future__ import annotations
 
 import threading
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
 from numpywren_tpu.exceptions import BlockNotFoundError, ShapeError
-from numpywren_tpu.utils import cdiv, hash_key, round_up
+from numpywren_tpu.utils import cdiv, hash_key
 
 Idx = Tuple[int, int]
 
