@@ -241,7 +241,7 @@ def main():
     on_tpu = dev.platform == "tpu"
 
     defaults = {
-        "cholesky": (16384 if on_tpu else 512, 512 if on_tpu else 128),
+        "cholesky": (32768 if on_tpu else 512, 512 if on_tpu else 128),
         "gemm": (8192 if on_tpu else 1024, 512),
         "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
     }

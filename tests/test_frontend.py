@@ -138,3 +138,44 @@ def test_nonaffine_tree_enumeration():
     # level 0: 2 combines (0+1, 2+3) + 1 passthrough(4); level 1: 1 combine + 1 pass; level 2: 1 combine
     assert ops["qr_combine"] == 4
     assert ops["copy"] == 2
+
+
+def test_chained_gemm_dsl_program():
+    """Arbitrary user DSL programs (BASELINE config #5 'GEMM chains'): two
+    chained matmul statements compile and run through the generic executor."""
+    import numpy as np
+    import numpywren_tpu as npw
+    from numpywren_tpu.frontend import lpcompile
+    from numpywren_tpu.frontend.ir import BoundArg
+    from numpywren_tpu.matrix_init import shard_matrix
+    from numpywren_tpu.tiled import TiledMatrix
+
+    src = """
+def gemm_chain(A, B, E, C, D, M, N, K, P):
+    for i in range(0, M):
+        for j in range(0, N):
+            for k in range(0, K):
+                C[i, j, k + 1] = gemm_acc(C[i, j, k], A[i, k], B[k, j])
+    for i in range(0, M):
+        for j in range(0, P):
+            for k in range(0, N):
+                D[i, j, k + 1] = gemm_acc(D[i, j, k], C[i, k, K], E[k, j])
+"""
+    t = lpcompile(src)
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((64, 96)).astype(np.float32)
+    b = rng.standard_normal((96, 64)).astype(np.float32)
+    e = rng.standard_normal((64, 32)).astype(np.float32)
+    at = shard_matrix(a, tile=(32, 32))
+    bt = shard_matrix(b, tile=(32, 32))
+    et = shard_matrix(e, tile=(32, 32))
+    c = TiledMatrix(shape=(64, 64), tile=(32, 32), storage="hbm", fill=0.0)
+    d = TiledMatrix(shape=(64, 32), tile=(32, 32), storage="hbm", fill=0.0)
+    prog = t.bind(
+        A=at, B=bt, E=et,
+        C=BoundArg(name="C", matrix=c, versioned=True),
+        D=BoundArg(name="D", matrix=d, versioned=True),
+        M=2, N=2, K=3, P=1,
+    )
+    npw.run_program(prog, executor="jax")
+    np.testing.assert_allclose(d.numpy(), (a @ b) @ e, rtol=1e-3, atol=1e-3)
