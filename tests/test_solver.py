@@ -4,6 +4,7 @@ schedule's RAW edges on the affine cholesky program, and handle the
 non-affine TSQR tree by bounded enumeration."""
 
 import numpy as np
+import pytest
 
 from numpywren_tpu import algs
 from numpywren_tpu.frontend import DependencySolver, lpcompile
@@ -71,3 +72,47 @@ def test_solver_nonaffine_tsqr():
     assert "copy" in ops
     copy_child = [c for c in children if t.statements[c[0]].op == "copy"][0]
     assert copy_child[1] == (0, 2)  # l=0, i=2
+
+
+@pytest.mark.parametrize("alg,consts", [
+    ("cholesky", {"N": 4, "truncate": 0}),
+    ("tsqr", {"N": 5, "L": 3}),
+])
+def test_solver_agrees_with_static_schedule(alg, consts):
+    """Property cross-check (SURVEY §4.4): the on-demand solver's
+    parent/child sets must equal the compiled static DAG's RAW edges for
+    every node. (WAR edges are a schedule-compiler addition for in-place
+    version reuse and are excluded: the solver reasons in pure SSA space.)"""
+    import numpy as np
+
+    import numpywren_tpu as npw
+    from numpywren_tpu.matrix_init import random_spd
+
+    if alg == "cholesky":
+        prog, _, _ = npw.cholesky(random_spd(4 * 16, seed=0), tile=(16, 16),
+                                  storage="host")
+        t = lpcompile(algs.cholesky)
+    else:
+        rng = np.random.default_rng(0)
+        prog, _, _ = npw.tsqr(rng.standard_normal((5 * 32, 16)).astype(np.float32),
+                              tile_rows=32, storage="host")
+        t = lpcompile(algs.tsqr)
+    solver = DependencySolver(t, consts)
+
+    id_of = {(n.stmt_id, n.var_values): n.node_id for n in prog.dag.nodes}
+    for n in prog.dag.nodes:
+        solver_children = {
+            id_of[c] for c in solver.get_children(n.stmt_id, n.var_values)
+            if c in id_of
+        }
+        # static children = RAW only: child reads something n wrote
+        writes = set(zip(n.writes, n.write_versions))
+        raw_children = {
+            c for c in prog.dag.children[n.node_id]
+            if writes & set(zip(prog.dag.nodes[c].reads,
+                                prog.dag.nodes[c].read_versions))
+        }
+        assert raw_children == solver_children, (
+            f"node {n.node_id} S{n.stmt_id}{n.var_values}: "
+            f"static {sorted(raw_children)} vs solver {sorted(solver_children)}"
+        )
