@@ -8,6 +8,7 @@ ICI collectives inserted by GSPMD (or explicitly via shard_map in fabric).
 """
 
 from numpywren_tpu.parallel.mesh import make_mesh, mesh_sharding, tile_sharding
+from numpywren_tpu.parallel.fabric import summa_gemm, tsqr_butterfly
 from numpywren_tpu.parallel.sharded import (
     sharded_cholesky,
     sharded_gemm,
@@ -21,4 +22,6 @@ __all__ = [
     "sharded_cholesky",
     "sharded_gemm",
     "sharded_tsqr",
+    "summa_gemm",
+    "tsqr_butterfly",
 ]

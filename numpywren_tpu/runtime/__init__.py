@@ -11,6 +11,15 @@ compiled DAG as wavefront SPMD steps with no queue at all.
 """
 
 from numpywren_tpu.runtime.program import NS, PS, TiledProgram
-from numpywren_tpu.runtime.executor import LocalExecutor, JaxTaskExecutor, run_program
+from numpywren_tpu.runtime.executor import (
+    JaxTaskExecutor,
+    LocalExecutor,
+    SpillTaskExecutor,
+    run_program,
+)
+from numpywren_tpu.runtime.spill import out_of_core_cholesky
 
-__all__ = ["NS", "PS", "TiledProgram", "LocalExecutor", "JaxTaskExecutor", "run_program"]
+__all__ = [
+    "NS", "PS", "TiledProgram", "LocalExecutor", "JaxTaskExecutor",
+    "SpillTaskExecutor", "out_of_core_cholesky", "run_program",
+]
