@@ -39,17 +39,14 @@ def gemm(A, B, C, M, N, K):
 def tsqr(A, Q0, R, QT, QB, N, L):
     """Tall-skinny QR, R-factor path (reference algs.tsqr + `reducer`).
 
-    Leaf QR per row block, then a binary combine tree of depth L; ragged
-    levels pass the odd R through. R[0, L] is the final R. QT/QB hold the
-    split combine-Q halves for reconstruction."""
+    Leaf QR per row block, then the `reducer` construct builds the binary
+    combine tree of depth L (ragged levels pass the odd R through; the
+    parser expands it to the explicit log-depth loops — frontend/parser.py
+    expand_reducer). R[0, L] is the final R. QT/QB hold the split combine-Q
+    halves for reconstruction."""
     for i in range(0, N):
         Q0[i, 0], R[i, 0] = qr_leaf(A[i, 0])
-    for l in range(0, L):
-        for i in range(0, cdiv(N, 2 ** (l + 1))):
-            if 2 * i + 1 < cdiv(N, 2 ** l):
-                QT[i, l], QB[i, l], R[i, l + 1] = qr_combine(R[2 * i, l], R[2 * i + 1, l])
-            else:
-                R[i, l + 1] = copy(R[2 * i, l])
+    reducer(R, QT, QB, qr_combine, copy, N, L)
 
 
 def bdfac(S, B, RA, CA, LA, DA, QTT, QTB, QBT, QBB, PTT, PTB, PBT, PBB, N):

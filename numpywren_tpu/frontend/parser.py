@@ -60,6 +60,13 @@ class _Parser:
                 out.append(self.parse_if(node, loops, conds))
             elif isinstance(node, ast.Assign):
                 out.append(self.parse_assign(node, loops, conds))
+            elif (
+                isinstance(node, ast.Expr)
+                and isinstance(node.value, ast.Call)
+                and isinstance(node.value.func, ast.Name)
+                and node.value.func.id == "reducer"
+            ):
+                out.append(self.expand_reducer(node.value, loops, conds))
             elif isinstance(node, ast.Expr) and isinstance(node.value, ast.Constant):
                 continue  # docstring
             elif isinstance(node, ast.Pass):
@@ -138,6 +145,67 @@ class _Parser:
         )
         self.stmt_counter += 1
         return kc
+
+    def expand_reducer(self, call: ast.Call, loops, conds) -> ForLoop:
+        """The `reducer` construct (reference: numpywren frontend's reducer,
+        compiled into log-depth tree-reduction loop levels — SURVEY §2 L5):
+
+            reducer(ACC, *extras, combine, passthrough, N, L)
+
+        expands to the binary combine tree
+
+            for l in range(0, L):
+                for i in range(0, cdiv(N, 2 ** (l + 1))):
+                    if 2 * i + 1 < cdiv(N, 2 ** l):
+                        extras[...][i, l], ACC[i, l + 1] = combine(
+                            ACC[2 * i, l], ACC[2 * i + 1, l])
+                    else:
+                        ACC[i, l + 1] = passthrough(ACC[2 * i, l])
+
+        ACC is versioned by tree level; `extras` receive the combine
+        kernel's side outputs (len == kernel outputs - 1); N is the leaf
+        count, L the tree depth (both index expressions)."""
+        args = call.args
+        if call.keywords or len(args) < 5:
+            raise CompilationError(
+                f"line {call.lineno}: reducer(ACC, *extras, combine, "
+                f"passthrough, N, L) takes positional args only"
+            )
+        n_src = ast.unparse(args[-2])
+        l_src = ast.unparse(args[-1])
+        names = args[:-2]
+        if not all(isinstance(a, ast.Name) for a in names[:1] + names[-2:]):
+            raise CompilationError(
+                f"line {call.lineno}: reducer matrices/kernels must be names"
+            )
+        acc = names[0].id
+        combine = names[-2].id
+        passthrough = names[-1].id
+        extras = [a.id for a in names[1:-2]]
+        for op in (combine, passthrough):
+            if op not in kernels.KERNELS:
+                raise CompilationError(f"line {call.lineno}: unknown kernel {op!r}")
+        want = kernels.N_OUTPUTS[combine] - 1
+        if len(extras) != want:
+            raise CompilationError(
+                f"line {call.lineno}: {combine} has {want + 1} outputs; "
+                f"reducer got {len(extras)} extra output matrices, need {want}"
+            )
+        lv = f"_rl{self.stmt_counter}"
+        iv = f"_ri{self.stmt_counter}"
+        extra_outs = "".join(f"{e}[{iv}, {lv}], " for e in extras)
+        src = (
+            f"for {lv} in range(0, {l_src}):\n"
+            f"    for {iv} in range(0, cdiv({n_src}, 2 ** ({lv} + 1))):\n"
+            f"        if 2 * {iv} + 1 < cdiv({n_src}, 2 ** {lv}):\n"
+            f"            {extra_outs}{acc}[{iv}, {lv} + 1] = "
+            f"{combine}({acc}[2 * {iv}, {lv}], {acc}[2 * {iv} + 1, {lv}])\n"
+            f"        else:\n"
+            f"            {acc}[{iv}, {lv} + 1] = "
+            f"{passthrough}({acc}[2 * {iv}, {lv}])\n"
+        )
+        tree = ast.parse(src).body[0]
+        return self.parse_for(tree, loops, conds)
 
     def parse_block_ref(self, node) -> BlockRef:
         if not isinstance(node, ast.Subscript):

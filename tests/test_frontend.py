@@ -179,3 +179,52 @@ def gemm_chain(A, B, E, C, D, M, N, K, P):
     )
     npw.run_program(prog, executor="jax")
     np.testing.assert_allclose(d.numpy(), (a @ b) @ e, rtol=1e-3, atol=1e-3)
+
+
+def test_reducer_construct_matches_explicit_tree():
+    """The `reducer` macro must expand to exactly the explicit log-depth
+    combine-tree loops of algs.tsqr (reference reducer parity)."""
+    import numpy as np
+    import numpywren_tpu as npw
+    from numpywren_tpu.frontend import lpcompile
+    from numpywren_tpu import algs
+
+    src = """
+def tsqr_red(A, Q0, R, QT, QB, N, L):
+    for i in range(0, N):
+        Q0[i, 0], R[i, 0] = qr_leaf(A[i, 0])
+    reducer(R, QT, QB, qr_combine, copy, N, L)
+"""
+    t_red = lpcompile(src)
+    t_exp = lpcompile(algs.tsqr)
+    # same statement ops in the same structural order
+    assert [s.op for s in t_red.statements] == [s.op for s in t_exp.statements]
+    # and execution-level equality on a real input
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((5 * 32, 16)).astype(np.float32)
+    from numpywren_tpu.alg_wrappers import _templates
+
+    saved = _templates.pop("tsqr", None)
+    try:
+        _templates["tsqr"] = t_red  # splice the reducer version in
+        prog, outs, meta = npw.tsqr(a, tile_rows=32)
+        npw.run_program(prog, executor="jax")
+        r = npw.tsqr_r_factor(outs)
+        np.testing.assert_allclose(r.T @ r, a.T @ a, rtol=1e-3, atol=1e-2)
+    finally:
+        _templates.pop("tsqr", None)
+        if saved is not None:
+            _templates["tsqr"] = saved
+
+
+def test_reducer_arity_errors():
+    from numpywren_tpu.exceptions import CompilationError
+    from numpywren_tpu.frontend import lpcompile
+    import pytest as _pytest
+
+    bad = """
+def f(A, R, N, L):
+    reducer(R, qr_combine, copy, N, L)
+"""
+    with _pytest.raises(CompilationError):
+        lpcompile(bad)  # qr_combine needs 2 extra outputs
