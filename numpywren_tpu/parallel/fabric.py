@@ -87,6 +87,53 @@ def summa_gemm(a, b, mesh: Optional[Mesh] = None, *, precision=None) -> jax.Arra
 
 
 # ---------------------------------------------------------------------------
+# Distributed CholeskyQR2 (GEMM + psum; the MXU-native tall-skinny QR)
+# ---------------------------------------------------------------------------
+
+def cholqr2_sharded(a, mesh: Optional[Mesh] = None, *, compute_q: bool = False,
+                    precision=None):
+    """CholeskyQR2 over row shards: each device contributes its local Gram
+    matrix, ONE psum reduces them over ICI, the tiny b x b Cholesky runs
+    replicated, and Q stays row-sharded. Two rounds restore fp32-grade
+    orthogonality. This is the distributed dual of the butterfly tree —
+    one all-reduce of b^2 floats instead of log2(P) R exchanges."""
+    mesh = mesh or make_mesh()
+    devs = mesh.devices.reshape(-1)
+    mesh1 = Mesh(devs, ("d",))
+    p = len(devs)
+    m, b = a.shape
+    if m % p:
+        raise ShapeError(f"rows {m} must divide {p} devices")
+    if precision is None:
+        precision = default_precision(jnp.asarray(a).dtype)
+
+    spec = P("d", None)
+    rep = P(None, None)
+    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh1, spec))
+
+    @functools.partial(
+        shard_map, mesh=mesh1, in_specs=(spec,), out_specs=(spec, rep),
+        check_vma=False,
+    )
+    def f(x_loc):
+        def one_pass(x):
+            g = lax.psum(jnp.matmul(x.T, x, precision=precision), "d")
+            l = lax.linalg.cholesky(g, symmetrize_input=False)
+            w = lax.linalg.triangular_solve(
+                l, jnp.eye(l.shape[0], dtype=x.dtype), left_side=True, lower=True
+            )
+            return jnp.matmul(x, w.T, precision=precision), l
+
+        q1, l1 = one_pass(x_loc)
+        q2, l2 = one_pass(q1)
+        r = jnp.matmul(l2.T, l1.T, precision=precision)
+        return q2, r
+
+    q, r = jax.jit(f)(a)
+    return (q, r) if compute_q else r
+
+
+# ---------------------------------------------------------------------------
 # Butterfly TSQR (all-reduce-shaped combine tree)
 # ---------------------------------------------------------------------------
 

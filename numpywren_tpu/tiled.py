@@ -132,6 +132,21 @@ class _TiledBase:
         reference's submatrix also operates in block space)."""
         return SubmatrixView(self, _as_range(row_blocks, self.grid[0]), _as_range(col_blocks, self.grid[1]))
 
+    # ---- validation -----------------------------------------------------------
+    def assert_finite(self, label: str = ""):
+        """Raise if any existing block holds NaN/Inf. Factorizations of
+        invalid inputs (e.g. a non-SPD matrix through cholesky) propagate
+        NaNs silently on-device — the LAPACK-raises-an-error analog is this
+        explicit post-check."""
+        for (i, j) in self.block_idxs_exist:
+            blk = np.asarray(self.get_block(i, j))
+            if not np.isfinite(blk).all():
+                raise FloatingPointError(
+                    f"{label or self.key}: non-finite values in block ({i},{j}) "
+                    f"(non-SPD input to cholesky? singular panel?)"
+                )
+        return self
+
     # ---- materialization ------------------------------------------------------
     def numpy(self) -> np.ndarray:
         """Materialize to a local numpy array of the logical shape."""

@@ -65,3 +65,24 @@ def test_tsqr_butterfly_vs_fused(rng):
     np.testing.assert_allclose(
         np.abs(r_bf), np.abs(r_fu), rtol=1e-3, atol=1e-3
     )  # R unique up to row signs
+
+
+@pytest.mark.parametrize("p", [4, 8])
+def test_cholqr2_sharded(p, rng):
+    from numpywren_tpu.parallel.fabric import cholqr2_sharded
+
+    mesh = make_mesh(jax.devices()[:p], shape=(1, p))
+    a = rng.standard_normal((p * 32, 16)).astype(np.float32)
+    q, r = cholqr2_sharded(a, mesh=mesh, compute_q=True)
+    q, r = np.asarray(q), np.asarray(r)
+    np.testing.assert_allclose(q @ r, a, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(q.T @ q, np.eye(16), atol=1e-4)
+
+
+def test_cholqr2_sharded_r_only(rng):
+    from numpywren_tpu.parallel.fabric import cholqr2_sharded
+
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))  # flattened internally
+    a = rng.standard_normal((8 * 32, 16)).astype(np.float32)
+    r = np.asarray(cholqr2_sharded(a, mesh=mesh))
+    np.testing.assert_allclose(r.T @ r, a.T @ a, rtol=1e-3, atol=1e-2)

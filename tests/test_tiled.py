@@ -121,3 +121,23 @@ def test_free():
     m.put_block(np.ones((32, 32), np.float32), 0, 0)
     m.free()
     assert m.block_idxs_exist == []
+
+
+def test_assert_finite_catches_nonspd_cholesky(rng):
+    """Non-SPD input: the factor silently fills with NaN on-device; the
+    explicit post-check is the LAPACK-info-error analog."""
+    import numpywren_tpu as npw
+
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    a = a + a.T  # symmetric but indefinite
+    prog, l, _ = npw.cholesky(a, tile=(32, 32))
+    npw.run_program(prog, executor="fused")
+    with pytest.raises(FloatingPointError):
+        l.assert_finite("L")
+
+
+def test_assert_finite_passes(rng):
+    from numpywren_tpu.matrix_init import shard_matrix
+
+    m = shard_matrix(rng.standard_normal((64, 64)).astype(np.float32), tile=(32, 32))
+    assert m.assert_finite() is m
