@@ -45,28 +45,60 @@ def _dus(arr, update, i0: int, j0: int):
     return lax.dynamic_update_slice(arr, update, (i0, j0))
 
 
+def _use_compensated(a, precision, pallas) -> bool:
+    """The bf16x3 Pallas kernel (ops/gemm3.py) as the HIGH backend: measured
+    ~3x better accuracy than XLA's HIGH dot (1.4e-6 vs 4.0e-6 end-to-end
+    cholesky residual) at ~7% cost — opt in via NpwConfig.compensated
+    (BASELINE's "fp32 + compensated accumulation" mode)."""
+    if not (pallas and on_tpu() and a.dtype == jnp.float32
+            and precision == jax.lax.Precision.HIGH):
+        return False
+    from numpywren_tpu.config import default_config
+
+    return default_config().compensated
+
+
 def _matmul(a, b, *, ta=False, tb=False, precision, pallas=True):
-    """Large fused matmul. On TPU this routes through the Pallas MXU kernel
+    """Large fused matmul. On TPU this routes through the Pallas MXU kernels
     when shapes are tile-aligned; elsewhere (CPU "fake cluster") jnp.matmul.
     pallas=False forces plain XLA dots — required under GSPMD partitioning
-    (parallel.sharded), which cannot split an opaque pallas_call. Mosaic
-    only accepts DEFAULT/HIGHEST dot precision, so HIGH (bf16x3, the fp32
-    flagship) also takes the XLA path — XLA's HIGH dot already runs at the
-    3-pass speed of light."""
-    if precision == jax.lax.Precision.HIGH:
-        pallas = False
+    (parallel.sharded), which cannot split an opaque pallas_call. HIGH
+    precision uses XLA's 3-pass dot (fastest) unless NpwConfig.compensated
+    selects the more accurate bf16x3 Pallas kernel."""
     if pallas and on_tpu():
-        from numpywren_tpu.ops.gemm import matmul as pallas_matmul
+        if precision == jax.lax.Precision.HIGH:
+            if not ta and _use_compensated(a, precision, pallas):
+                from numpywren_tpu.ops.gemm3 import matmul3
 
-        try:
-            return pallas_matmul(a, b, ta=ta, tb=tb, precision=precision)
-        except Exception:
-            pass  # unaligned fall-through
+                try:
+                    return matmul3(a, b, tb=tb)
+                except Exception:
+                    pass
+        else:
+            from numpywren_tpu.ops.gemm import matmul as pallas_matmul
+
+            try:
+                return pallas_matmul(a, b, ta=ta, tb=tb, precision=precision)
+            except Exception:
+                pass  # unaligned fall-through
     if ta:
         a = a.T
     if tb:
         b = b.T
     return jnp.matmul(a, b, precision=precision)
+
+
+def _sub_matmul(c, a, b, *, tb=False, precision, pallas=True):
+    """c - a @ op(b) — the trailing-update shape. In compensated mode the
+    subtract rides in the bf16x3 kernel's epilogue."""
+    if _use_compensated(a, precision, pallas):
+        from numpywren_tpu.ops.gemm3 import matmul3
+
+        try:
+            return matmul3(a, b, c, tb=tb)
+        except Exception:
+            pass
+    return c - _matmul(a, b, tb=tb, precision=precision, pallas=pallas)
 
 
 # ---------------------------------------------------------------------------
@@ -85,14 +117,14 @@ def _syrk_tril(a, pan, r1, j0, rows, depth, tile, precision, pallas, leaf_rows):
     if depth == 0 or rows <= leaf_rows:
         p = lax.dynamic_slice(pan, (j0 - r1, 0), (rows, pan.shape[1]))
         s = lax.dynamic_slice(a, (j0, j0), (rows, rows))
-        upd = _matmul(p, p, tb=True, precision=precision, pallas=pallas)
-        return _dus(a, (s - upd).astype(a.dtype), j0, j0)
+        out = _sub_matmul(s, p, p, tb=True, precision=precision, pallas=pallas)
+        return _dus(a, out.astype(a.dtype), j0, j0)
     h = (rows // 2 + tile - 1) // tile * tile  # split on a tile boundary
     p1 = lax.dynamic_slice(pan, (j0 - r1, 0), (h, pan.shape[1]))
     p2 = lax.dynamic_slice(pan, (j0 - r1 + h, 0), (rows - h, pan.shape[1]))
     s21 = lax.dynamic_slice(a, (j0 + h, j0), (rows - h, h))
-    upd = _matmul(p2, p1, tb=True, precision=precision, pallas=pallas)
-    a = _dus(a, (s21 - upd).astype(a.dtype), j0 + h, j0)
+    out = _sub_matmul(s21, p2, p1, tb=True, precision=precision, pallas=pallas)
+    a = _dus(a, out.astype(a.dtype), j0 + h, j0)
     a = _syrk_tril(a, pan, r1, j0, h, depth - 1, tile, precision, pallas, leaf_rows)
     a = _syrk_tril(a, pan, r1, j0 + h, rows - h, depth - 1, tile, precision, pallas, leaf_rows)
     return a
@@ -218,9 +250,10 @@ def fused_cholesky_fn(
                 off = (c - p - 1) * w_max
                 pc = lax.dynamic_slice(b, (off, 0), (b.shape[0] - off, wp))
                 pcc = lax.dynamic_slice(b, (off, 0), (widths[c], wp))
-                upd = _matmul(pc, pcc, tb=True, precision=precision, pallas=pallas)
                 base = cols[c] if cols[c] is not None else col_slice(c)
-                cols[c] = (base - upd).astype(a.dtype)
+                cols[c] = _sub_matmul(base, pc, pcc, tb=True,
+                                      precision=precision,
+                                      pallas=pallas).astype(a.dtype)
         out = jnp.zeros_like(a)
         for c in range(nb):
             out = _dus(out, cols[c], c * w_max, c * w_max)

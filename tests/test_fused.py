@@ -195,3 +195,31 @@ def test_program_tsqr_cholqr2(rng):
     q = outs["Q"].numpy()[: a.shape[0]]
     r = tsqr_r_factor(outs)
     np.testing.assert_allclose(q @ r, a, rtol=1e-3, atol=1e-3)
+
+
+def test_gemm3_interpret_path(rng):
+    """bf16x3 kernel falls back to exact fp32 matmul on the CPU backend."""
+    from numpywren_tpu.ops.gemm3 import matmul3
+    import jax.numpy as jnp
+
+    a = rng.standard_normal((128, 64)).astype(np.float32)
+    b = rng.standard_normal((128, 64)).astype(np.float32)
+    c = rng.standard_normal((128, 128)).astype(np.float32)
+    out = np.asarray(matmul3(jnp.asarray(a), jnp.asarray(b), tb=True))
+    np.testing.assert_allclose(out, a @ b.T, rtol=1e-5, atol=1e-5)
+    out2 = np.asarray(matmul3(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), tb=True))
+    np.testing.assert_allclose(out2, c - a @ b.T, rtol=1e-5, atol=1e-5)
+
+
+def test_compensated_mode_cholesky(monkeypatch):
+    """NpwConfig.compensated routes HIGH matmuls through the bf16x3 kernel;
+    on CPU both paths are plain fp32 — this exercises the dispatch."""
+    from numpywren_tpu import config
+
+    monkeypatch.setattr(config, "_default", config.NpwConfig(compensated=True))
+    a = random_spd(160, seed=12)
+    prog, l, _ = npw.cholesky(a, tile=(32, 32))
+    npw.run_program(prog, executor="fused")
+    ln = l.numpy()
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-5
