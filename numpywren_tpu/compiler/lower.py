@@ -264,7 +264,9 @@ def fused_cholesky_fn(
 
 @functools.lru_cache(maxsize=32)
 def _jitted_cholesky(n_pad, tile, truncate, panel_tiles, syrk_depth,
-                     leaf_rows, inv_panel, precision, dtype):
+                     leaf_rows, inv_panel, precision, dtype, _compensated):
+    # _compensated is only a cache key: _use_compensated reads the config at
+    # trace time, so a toggled NpwConfig.compensated must retrace
     fn = fused_cholesky_fn(
         n_pad, tile, truncate=truncate, panel_tiles=panel_tiles,
         syrk_depth=syrk_depth, leaf_rows=leaf_rows, inv_panel=inv_panel,
@@ -278,10 +280,13 @@ def fused_cholesky(a: jax.Array, tile: int, *, truncate: int = 0,
                    leaf_rows: int = 4096, inv_panel: bool = True,
                    precision=None) -> jax.Array:
     """One-call fused Cholesky on a flat padded array (donates its input)."""
+    from numpywren_tpu.config import default_config
+
     if precision is None:
         precision = default_precision(a.dtype)
     fn = _jitted_cholesky(a.shape[0], tile, truncate, panel_tiles, syrk_depth,
-                          leaf_rows, inv_panel, precision, a.dtype)
+                          leaf_rows, inv_panel, precision, a.dtype,
+                          default_config().compensated)
     return fn(a)
 
 
