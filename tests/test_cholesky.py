@@ -65,3 +65,26 @@ def test_cholesky_truncate():
     # full factorization; untouched columns stay zero
     np.testing.assert_allclose(np.tril(l)[:, :64], np.tril(full)[:, :64], rtol=5e-3, atol=5e-4)
     assert np.allclose(l[:, 64:], 0)
+
+
+def test_fp64_parity_via_local_executor():
+    """The reference stores float64 blocks and computes in fp64 (LAPACK).
+    Full parity path here: float64 host-tier storage + the LocalExecutor's
+    numpy kernels => scipy-fp64-grade residual (~1e-15), independent of the
+    TPU's fp32 hardware."""
+    import numpy as np
+    import scipy.linalg
+
+    import numpywren_tpu as npw
+    from numpywren_tpu.matrix_init import random_spd, shard_matrix
+
+    a = random_spd(128, seed=42, dtype=np.float64)
+    at = shard_matrix(a, tile=(32, 32), storage="host", dtype=np.float64)
+    prog, l, _ = npw.cholesky(at, tile=(32, 32), storage="host")
+    npw.run_program(prog, executor="local")
+    ln = np.tril(l.numpy())
+    assert ln.dtype == np.float64
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-14, resid
+    ref = scipy.linalg.cholesky(a, lower=True)
+    np.testing.assert_allclose(ln, ref, rtol=1e-12, atol=1e-12)
