@@ -41,7 +41,7 @@ __all__ = [
 def __getattr__(name):
     # Lazy imports so `import numpywren_tpu` stays cheap and avoids importing
     # jax-compiled modules before test conftest sets platform env vars.
-    if name in ("cholesky", "gemm", "tsqr", "bdfac", "run_program", "tsqr_r_factor"):
+    if name in ("cholesky", "cholesky_solve", "gemm", "tsqr", "bdfac", "run_program", "tsqr_r_factor"):
         from numpywren_tpu import alg_wrappers
 
         return getattr(alg_wrappers, name)

@@ -121,6 +121,42 @@ def _spd_parent(x_t):
     return parent
 
 
+def cholesky_solve(l: _TiledBase, b: np.ndarray) -> np.ndarray:
+    """Solve A x = b given A's lower Cholesky factor (two triangular solves
+    on device). `l` is the TiledMatrix returned by cholesky(); `b` is
+    (n,) or (n, k). Beyond-reference convenience (the reference stops at
+    the factorization)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = l.shape[0]
+    b = np.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    if b.shape[0] != n:
+        raise ShapeError(f"rhs rows {b.shape[0]} != matrix dim {n}")
+    l_arr = l.to_hbm().array if getattr(l, "storage", None) != "hbm" else l.array
+    n_pad = l_arr.shape[0]
+
+    @jax.jit
+    def solve(l_arr, rhs):
+        y = lax.linalg.triangular_solve(l_arr, rhs, left_side=True, lower=True)
+        return lax.linalg.triangular_solve(l_arr, y, left_side=True, lower=True,
+                                           transpose_a=True)
+
+    rhs = jnp.zeros((n_pad, b.shape[1]), l_arr.dtype)
+    rhs = lax.dynamic_update_slice(rhs, jnp.asarray(b, l_arr.dtype), (0, 0))
+    # padded diagonal is zero outside the logical region for cholesky outputs
+    # whose pad carried identity; guard by setting unit diagonal on the pad
+    if n_pad > n:
+        pad_idx = jnp.arange(n, n_pad)
+        l_arr = l_arr.at[pad_idx, pad_idx].set(1.0)
+    x = np.asarray(solve(l_arr, rhs))[:n]
+    return x[:, 0] if squeeze else x
+
+
 # ---------------------------------------------------------------------------
 # GEMM
 # ---------------------------------------------------------------------------

@@ -88,3 +88,21 @@ def test_fp64_parity_via_local_executor():
     assert resid < 1e-14, resid
     ref = scipy.linalg.cholesky(a, lower=True)
     np.testing.assert_allclose(ln, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_cholesky_solve():
+    import numpy as np
+
+    import numpywren_tpu as npw
+    from numpywren_tpu.matrix_init import random_spd
+
+    a = random_spd(160, seed=5)  # padded to 192 with tile 64 (pad path)
+    prog, l, _ = npw.cholesky(a, tile=(64, 64))
+    npw.run_program(prog)
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal((160, 3)).astype(np.float32)
+    x = npw.cholesky_solve(l, b)
+    np.testing.assert_allclose(a @ x, b, rtol=1e-3, atol=1e-3)
+    x1 = npw.cholesky_solve(l, b[:, 0])
+    assert x1.shape == (160,)
+    np.testing.assert_allclose(a @ x1, b[:, 0], rtol=1e-3, atol=1e-3)
