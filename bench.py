@@ -216,9 +216,38 @@ def bench_tsqr(n, tile, dtype, precision, syrk_depth, method="cholqr2"):
                                      "method": method, "gram_rel_err": err}
 
 
+def bench_bdfac(n, tile, dtype, precision, syrk_depth):
+    import jax
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import fused_bdfac_fn
+
+    log(f"bdfac: n={n} tile={tile} dtype={dtype} precision={precision}")
+    a = (jax.random.normal(jax.random.PRNGKey(1), (n, n)) * 0.1).astype(dtype)
+    body = fused_bdfac_fn(n, tile, precision=precision, dtype=dtype)
+
+    @jax.jit
+    def step(x, t):
+        return body(x + t)
+
+    def chain(k):
+        t = jnp.zeros((), dtype)
+        bd = None
+        for _ in range(k):
+            bd = step(a, t)
+            t = (bd[0, 0] * 1e-30).astype(dtype)
+            del bd
+        fetch_scalar(t)
+
+    per = slope_time(chain, 1, 3)
+    flops = 8 * n**3 / 3  # two-sided blocked Householder sweeps
+    return flops / per / 1e12, per, {}
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--alg", default="cholesky", choices=["cholesky", "gemm", "tsqr"])
+    p.add_argument("--alg", default="cholesky",
+                   choices=["cholesky", "gemm", "tsqr", "bdfac"])
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--tile", type=int, default=None)
     p.add_argument("--dtype", default="float32")
@@ -244,6 +273,7 @@ def main():
         "cholesky": (32768 if on_tpu else 512, 512 if on_tpu else 128),
         "gemm": (8192 if on_tpu else 1024, 512),
         "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
+        "bdfac": (8192 if on_tpu else 256, 512 if on_tpu else 64),
     }
     n = args.n or defaults[args.alg][0]
     tile = args.tile or defaults[args.alg][1]
@@ -257,7 +287,8 @@ def main():
     peak = measure_matmul_peak(dtype, precision)
     log(f"measured matmul speed-of-light: {peak:.1f} TFLOP/s")
 
-    fn = {"cholesky": bench_cholesky, "gemm": bench_gemm, "tsqr": bench_tsqr}[args.alg]
+    fn = {"cholesky": bench_cholesky, "gemm": bench_gemm, "tsqr": bench_tsqr,
+          "bdfac": bench_bdfac}[args.alg]
     tflops, per, extra = fn(n, tile, dtype, precision, args.syrk_depth)
 
     frac_peak = tflops / peak

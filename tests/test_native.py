@@ -48,14 +48,17 @@ def _compare(make_program):
     assert fn["initial_reads"] == fp["initial_reads"]
 
 
-def test_cholesky_native_matches_python():
-    a = random_spd(160, seed=0)
+@pytest.mark.parametrize("n_tiles", [1, 2, 3, 5, 8])
+def test_cholesky_native_matches_python(n_tiles):
+    a = random_spd(n_tiles * 32, seed=0)
     _compare(lambda: npw.cholesky(a, tile=(32, 32), storage="host")[0])
 
 
-def test_cholesky_truncate_native():
+@pytest.mark.parametrize("truncate", [1, 2, 4])
+def test_cholesky_truncate_native(truncate):
     a = random_spd(160, seed=0)
-    _compare(lambda: npw.cholesky(a, tile=(32, 32), storage="host", truncate=2)[0])
+    _compare(lambda: npw.cholesky(a, tile=(32, 32), storage="host",
+                                  truncate=truncate)[0])
 
 
 def test_gemm_native_matches_python(rng):
