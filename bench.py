@@ -12,7 +12,7 @@ SLOPE — run k1 and k2 chained iterations (each iteration data-depends on the
 previous result so they serialize) with one scalar fetch at the end, and
 divide the time difference by (k2 - k1). Fixed dispatch/fetch costs cancel.
 
-Usage: python bench.py [--alg cholesky|gemm|tsqr] [--n N] [--tile T]
+Usage: python bench.py [--alg cholesky|gemm|tsqr|bdfac] [--n N] [--tile T]
                        [--dtype float32|bfloat16] [--precision default|highest]
 """
 

@@ -174,7 +174,7 @@ class _Parser:
         n_src = ast.unparse(args[-2])
         l_src = ast.unparse(args[-1])
         names = args[:-2]
-        if not all(isinstance(a, ast.Name) for a in names[:1] + names[-2:]):
+        if not all(isinstance(a, ast.Name) for a in names):
             raise CompilationError(
                 f"line {call.lineno}: reducer matrices/kernels must be names"
             )
