@@ -8,7 +8,12 @@ ICI collectives inserted by GSPMD (or explicitly via shard_map in fabric).
 """
 
 from numpywren_tpu.parallel.mesh import make_mesh, mesh_sharding, tile_sharding
-from numpywren_tpu.parallel.fabric import summa_gemm, tsqr_butterfly
+from numpywren_tpu.parallel.fabric import (
+    cholesky_1d,
+    cholqr2_sharded,
+    summa_gemm,
+    tsqr_butterfly,
+)
 from numpywren_tpu.parallel.sharded import (
     sharded_cholesky,
     sharded_gemm,
@@ -24,4 +29,6 @@ __all__ = [
     "sharded_tsqr",
     "summa_gemm",
     "tsqr_butterfly",
+    "cholesky_1d",
+    "cholqr2_sharded",
 ]

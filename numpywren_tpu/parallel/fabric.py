@@ -87,6 +87,130 @@ def summa_gemm(a, b, mesh: Optional[Mesh] = None, *, precision=None) -> jax.Arra
 
 
 # ---------------------------------------------------------------------------
+# Explicit-collective Cholesky (block-cyclic panels over a 1-D mesh)
+# ---------------------------------------------------------------------------
+
+def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
+                precision=None) -> jax.Array:
+    """Right-looking blocked Cholesky with hand-scheduled collectives:
+    column super-panels are distributed BLOCK-CYCLICALLY over a 1-D mesh
+    (panel k lives on device k mod P — the owner of the critical path
+    rotates, so no device retires early), and each step is exactly one
+    collective: the current panel is broadcast along the mesh (masked psum —
+    the S3-panel-read of the reference, numpywren/algs.py cholesky), every
+    device factors it redundantly (W x W potrf + rtrsm: cheaper than a
+    second broadcast of the factor), and trailing updates of the panels a
+    device owns run entirely locally.
+
+    This is the explicit shard_map counterpart of parallel.sharded's
+    GSPMD-partitioned cholesky — the reference point for what the compiler's
+    automatic partitioning must beat. Correctness-validated on the virtual
+    CPU mesh; written for real ICI.
+    """
+    mesh = mesh or make_mesh()
+    devs = mesh.devices.reshape(-1)
+    mesh1 = Mesh(devs, ("d",))
+    p = len(devs)
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ShapeError(f"cholesky needs a square matrix, got {a.shape}")
+    if n % panel:
+        raise ShapeError(f"n {n} must be a multiple of panel {panel}")
+    nb = n // panel
+    nb_local = -(-nb // p)
+    if precision is None:
+        precision = default_precision(jnp.asarray(a).dtype)
+
+    # pack columns block-cyclically: local[slot] = global panel d + slot*p,
+    # stored as full (n, panel) columns (zeros above the diagonal are dead)
+    a = jnp.asarray(a)
+    packed = jnp.stack(
+        [
+            jnp.concatenate(
+                [
+                    (a[:, (d + s * p) * panel : (d + s * p + 1) * panel]
+                     if d + s * p < nb
+                     else jnp.zeros((n, panel), a.dtype))
+                    for s in range(nb_local)
+                ],
+                axis=1,
+            )
+            for d in range(p)
+        ],
+        axis=0,
+    )  # (p, n, nb_local*panel)
+    spec = P("d", None, None)
+    packed = jax.device_put(packed, NamedSharding(mesh1, spec))
+
+    def factor_panel(pan, k):
+        """potrf + solve of the full (n, panel) column holding global panel
+        k; rows above k*panel are dead. Runs redundantly on every device."""
+        d0 = k * panel
+        diag = lax.dynamic_slice(pan, (d0, 0), (panel, panel))
+        ld = lax.linalg.cholesky(diag, symmetrize_input=False)
+        winv = lax.linalg.triangular_solve(
+            ld, jnp.eye(panel, dtype=pan.dtype), left_side=True, lower=True
+        )
+        below = lax.dynamic_slice(pan, (d0 + panel, 0), (n - d0 - panel, panel)) \
+            if d0 + panel < n else None
+        out = jnp.zeros_like(pan)
+        out = lax.dynamic_update_slice(out, jnp.tril(ld), (d0, 0))
+        if below is not None:
+            solved = jnp.matmul(below, winv.T, precision=precision)
+            out = lax.dynamic_update_slice(out, solved, (d0 + panel, 0))
+        return out
+
+    @functools.partial(shard_map, mesh=mesh1, in_specs=(spec,), out_specs=spec,
+                       check_vma=False)
+    def run(local):
+        local = local[0]  # (n, nb_local*panel) — leading shard dim of 1
+        me = lax.axis_index("d")
+        for k in range(nb):
+            owner = k % p
+            slot = k // p
+            # broadcast the CURRENT state of panel k from its owner
+            mine = lax.dynamic_slice(local, (0, slot * panel), (n, panel))
+            pan_k = lax.psum(
+                jnp.where(me == owner, mine, jnp.zeros_like(mine)), "d"
+            )
+            lk = factor_panel(pan_k, k)          # redundant on all devices
+            # owner commits the factored panel
+            committed = jnp.where(
+                me == owner,
+                lax.dynamic_update_slice(local, lk, (0, slot * panel)),
+                local,
+            )
+            local = committed
+            # local trailing updates: every owned panel j = me + s*p with
+            # j > k (lax.cond skips the GEMM for already-factored panels)
+            for s in range(nb_local):
+                j = me + s * p
+                do = jnp.logical_and(j > k, j < nb)
+
+                def upd(loc, s=s):
+                    col = lax.dynamic_slice(loc, (0, s * panel), (n, panel))
+                    pcc = lax.dynamic_slice_in_dim(
+                        lk, (me + s * p) * panel, panel, axis=0
+                    )  # row block j of the factored panel
+                    col = col - jnp.matmul(lk, pcc.T, precision=precision)
+                    return lax.dynamic_update_slice(loc, col, (0, s * panel))
+
+                local = lax.cond(do, upd, lambda loc: loc, local)
+        return local[None]  # restore shard dim
+
+    out_packed = jax.jit(run)(packed)
+
+    # unpack block-cyclic columns back to a flat lower-triangular matrix
+    host = out_packed  # (p, n, nb_local*panel), 2-D sharded is fine to index
+    cols = []
+    for j in range(nb):
+        d, s = j % p, j // p
+        cols.append(host[d, :, s * panel : (s + 1) * panel])
+    l = jnp.concatenate(cols, axis=1)
+    return jnp.tril(l)
+
+
+# ---------------------------------------------------------------------------
 # Distributed CholeskyQR2 (GEMM + psum; the MXU-native tall-skinny QR)
 # ---------------------------------------------------------------------------
 

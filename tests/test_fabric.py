@@ -86,3 +86,22 @@ def test_cholqr2_sharded_r_only(rng):
     a = rng.standard_normal((8 * 32, 16)).astype(np.float32)
     r = np.asarray(cholqr2_sharded(a, mesh=mesh))
     np.testing.assert_allclose(r.T @ r, a.T @ a, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("nb,p", [(8, 8), (8, 4), (10, 4), (3, 8)])
+def test_cholesky_1d_blockcyclic(nb, p, rng):
+    """Explicit-collective cholesky: block-cyclic panels, psum broadcast,
+    local updates — must match scipy for ragged nb/P combinations."""
+    import scipy.linalg
+
+    from numpywren_tpu.matrix_init import random_spd
+    from numpywren_tpu.parallel.fabric import cholesky_1d
+
+    mesh = make_mesh(jax.devices()[:p], shape=(1, p))
+    panel = 16
+    a = random_spd(nb * panel, seed=nb * 10 + p)
+    l = np.asarray(cholesky_1d(a, mesh=mesh, panel=panel))
+    ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
+    np.testing.assert_allclose(l, ref, rtol=5e-3, atol=5e-4)
+    resid = np.linalg.norm(a - l @ l.T) / np.linalg.norm(a)
+    assert resid < 1e-5
