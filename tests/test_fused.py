@@ -223,3 +223,15 @@ def test_compensated_mode_cholesky(monkeypatch):
     ln = l.numpy()
     resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
     assert resid < 1e-5
+
+
+@pytest.mark.parametrize("n", [96, 160, 224, 288, 416, 544])
+def test_fused_cholesky_odd_geometries(n):
+    """Edge geometry sweep: sizes that pad, straddle super-panels, and leave
+    ragged last column blocks must all match scipy."""
+    a = random_spd(n, seed=n)
+    prog, l, _ = npw.cholesky(a, tile=(64, 64))
+    npw.run_program(prog, executor="fused")
+    ln = l.numpy()
+    ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
+    np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
