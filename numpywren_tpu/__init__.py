@@ -22,6 +22,7 @@ Public API mirrors the reference's alg_wrappers one-liners:
 
 from numpywren_tpu.config import NpwConfig, default_config
 from numpywren_tpu.tiled import TiledMatrix, TiledSymmetricMatrix
+from numpywren_tpu.trapezoid import TrapezoidMatrix, cholesky_trapezoid
 from numpywren_tpu import kernels
 from numpywren_tpu import exceptions
 
@@ -30,6 +31,8 @@ __version__ = "0.1.0"
 __all__ = [
     "TiledMatrix",
     "TiledSymmetricMatrix",
+    "TrapezoidMatrix",
+    "cholesky_trapezoid",
     "NpwConfig",
     "default_config",
     "kernels",

@@ -1,0 +1,60 @@
+"""TrapezoidMatrix tier: half-memory lower-trapezoid column blocks + the
+donated in-place factorization path."""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from numpywren_tpu.matrix_init import random_spd, shard_matrix
+from numpywren_tpu.trapezoid import TrapezoidMatrix, cholesky_trapezoid
+
+
+def test_roundtrip():
+    a = random_spd(256, seed=0)
+    t = TrapezoidMatrix.from_array(a, panel=64)
+    assert t.nb == 4
+    got = t.numpy()
+    np.testing.assert_allclose(got, np.tril(a), rtol=1e-6)
+    # half the memory of the dense square (plus diagonal blocks' upper halves)
+    assert t.nbytes < 0.65 * a.nbytes
+
+
+@pytest.mark.parametrize("n,panel", [(256, 64), (160, 64), (192, 192), (96, 128)])
+def test_cholesky_trapezoid_matches_scipy(n, panel):
+    a = random_spd(n, seed=n)
+    t = TrapezoidMatrix.from_array(a, panel=panel)
+    l = cholesky_trapezoid(t)
+    ln = l.numpy()
+    ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
+    np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-5
+
+
+def test_from_tiled():
+    a = random_spd(128, seed=3)
+    m = shard_matrix(a, tile=(32, 32))
+    t = TrapezoidMatrix.from_tiled(m, panel=64)
+    l = cholesky_trapezoid(t)
+    resid = np.linalg.norm(a - l.numpy() @ l.numpy().T) / np.linalg.norm(a)
+    assert resid < 1e-5
+
+
+def test_donation_consumes_input():
+    a = random_spd(128, seed=4)
+    t = TrapezoidMatrix.from_array(a, panel=64)
+    l = cholesky_trapezoid(t)
+    assert t.cols[0] is None  # buffers donated
+    assert l.cols[0] is not None
+
+
+def test_matches_flat_fused():
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import fused_cholesky
+
+    a = random_spd(256, seed=5)
+    t = TrapezoidMatrix.from_array(a, panel=128)
+    l_t = cholesky_trapezoid(t).numpy()
+    l_f = np.asarray(fused_cholesky(jnp.asarray(a), tile=128))
+    np.testing.assert_allclose(l_t, l_f, rtol=1e-4, atol=1e-5)
