@@ -79,6 +79,116 @@ def measure_matmul_peak(dtype, precision, n: int = 8192) -> float:
     return 2 * n**3 / best / 1e12
 
 
+def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth):
+    """Flagship path: TrapezoidMatrix storage, buffers donated per run.
+    Each timed run factors a DISTINCT fresh SPD matrix (constructed
+    untimed, as factorization benchmarks conventionally do); the slope
+    over back-to-back donated runs cancels dispatch/fetch overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpywren_tpu.trapezoid import _trapezoid_chol_fn
+
+    panel = 8 * tile
+    nb = -(-n // panel)
+    n_pad = nb * panel
+    log(f"cholesky[trapezoid]: n={n} tile={tile} panel={panel} "
+        f"dtype={dtype} precision={precision}")
+
+    # build column blocks directly (never materializes the flat square)
+    # block c holds rows [c*panel, n_pad) of columns [c*panel, (c+1)*panel):
+    # local (i, j) = global (c*panel + i, c*panel + j), so the global
+    # diagonal is local k=0 in EVERY block
+    mk = jax.jit(
+        lambda x, c: (jnp.matmul(x[c * panel :], x[c * panel : (c + 1) * panel].T,
+                                 precision=jax.lax.Precision.DEFAULT) / n
+                      + 2.0 * jnp.eye(n_pad - c * panel, panel)
+                      ).astype(dtype),
+        static_argnums=1,
+    )
+
+    def make_cols(seed):
+        x = jax.random.normal(jax.random.PRNGKey(seed), (n_pad, n_pad), jnp.float32)
+        cols = [mk(x, c) for c in range(nb)]
+        # block_until_ready is unreliable across the tunnel: force real
+        # completion with a scalar fetch that depends on every block
+        fetch_scalar(sum(cb[-1, -1] for cb in cols))
+        del x
+        return cols
+
+    import gc
+
+    fn = _trapezoid_chol_fn(n_pad, panel, nb, tile, precision,
+                            jnp.dtype(dtype).name, False)
+    warm_out = fn(*make_cols(99))  # compile
+    fetch_scalar(warm_out[0][0, 0])
+    del warm_out
+    gc.collect()
+
+    # slope between 1 and 2 donated runs, after one throwaway settle run
+    # (the first run after bulk construction absorbs allocator work);
+    # repeat the whole measurement and keep the best slope
+    per = float("inf")
+    for rep in range(2):
+        inputs = [make_cols(100 * rep + s) for s in range(1, 5)]
+        gc.collect()
+
+        def chain(idxs):
+            t = jnp.zeros((), dtype)
+            for i in idxs:
+                cols = inputs[i]
+                cols0 = cols[0].at[0, 0].add(t)
+                inputs[i] = None
+                o = fn(cols0, *cols[1:])
+                del cols, cols0
+                t = (o[0][0, 0] * 1e-30).astype(dtype)
+                del o
+            fetch_scalar(t)
+
+        chain([0])  # settle
+        t0 = time.perf_counter()
+        chain([1])
+        t1 = time.perf_counter()
+        chain([2, 3])
+        t2 = time.perf_counter()
+        this = (t2 - t1) - (t1 - t0)
+        if this <= 0:  # pathological scheduling noise: use the 2-run leg
+            this = (t2 - t1) / 2
+        per = min(per, this)
+        gc.collect()
+    tflops = n**3 / 3 / per / 1e12
+
+    # residual check on a fresh factorization (timing buffers are gone):
+    # per stored column block c, rec = sum_q L[rows>=c*panel, q] @ L[block c, q]^T
+    # covers every element of the block (L is lower-tri, so blocks q > c are 0)
+    l_cols = fn(*make_cols(0))
+    fetch_scalar(l_cols[0][0, 0])
+    a_cols = make_cols(0)
+
+    @jax.jit
+    def resid_sq(l_cols, a_cols):
+        hp = jax.lax.Precision.HIGHEST
+        num = jnp.zeros((), jnp.float32)
+        den = jnp.zeros((), jnp.float32)
+        lf = [lc.astype(jnp.float32) for lc in l_cols]
+        for c in range(nb):
+            rec = jnp.zeros_like(a_cols[c], jnp.float32)
+            for q in range(c + 1):
+                lq = lf[q]
+                rows = lq[(c - q) * panel :]
+                cols_blk = lq[(c - q) * panel : (c - q + 1) * panel]
+                rec = rec + jnp.matmul(rows, cols_blk.T, precision=hp)
+            diff = a_cols[c].astype(jnp.float32) - rec
+            num = num + jnp.sum(diff ** 2)
+            den = den + jnp.sum(a_cols[c].astype(jnp.float32) ** 2)
+        return num, den
+
+    num, den = resid_sq(list(l_cols), a_cols)
+    resid = (fetch_scalar(num) / fetch_scalar(den)) ** 0.5
+    log(f"per-factorization: {per*1e3:.1f} ms  residual: {resid:.3e}")
+    return tflops, per, {"residual_fro": resid, "layout": "trapezoid"}
+
+
 def bench_cholesky(n, tile, dtype, precision, syrk_depth):
     import jax
     import jax.numpy as jnp
@@ -258,6 +368,9 @@ def main():
                    choices=["default", "high", "highest"])
     p.add_argument("--syrk-depth", type=int, default=3,
                    help="recursive triangular-syrk depth")
+    p.add_argument("--layout", default="trapezoid", choices=["trapezoid", "flat"],
+                   help="cholesky storage layout (trapezoid = donated "
+                        "column blocks, the framework's hot path)")
     p.add_argument("--target-frac", type=float, default=0.70,
                    help="BASELINE.json north-star fraction of peak")
     args = p.parse_args()
@@ -289,6 +402,8 @@ def main():
 
     fn = {"cholesky": bench_cholesky, "gemm": bench_gemm, "tsqr": bench_tsqr,
           "bdfac": bench_bdfac}[args.alg]
+    if args.alg == "cholesky" and args.layout == "trapezoid":
+        fn = bench_cholesky_trapezoid
     tflops, per, extra = fn(n, tile, dtype, precision, args.syrk_depth)
 
     frac_peak = tflops / peak

@@ -138,18 +138,20 @@ def _trapezoid_chol_fn(n_pad: int, panel: int, nb: int, tile: int,
             colp = cols[p]
             wp = colp.shape[1]
             ld = lax.linalg.cholesky(colp[:wp], symmetrize_input=False)
-            if colp.shape[0] > wp:
-                b = rtrsm(colp[wp:], ld, wp)
-                cols[p] = jnp.concatenate([jnp.tril(ld), b], axis=0)
-            else:
+            if colp.shape[0] <= wp:
                 cols[p] = jnp.tril(ld)
                 continue
+            b = rtrsm(colp[wp:], ld, wp)
+            # update later columns BEFORE committing cols[p]: the commit's
+            # concatenate consumes the donated buffer and `b` must not be
+            # re-read after it (donation aliasing)
             for c in range(p + 1, nb):
                 off = (c - p - 1) * panel
                 pc = lax.dynamic_slice(b, (off, 0), (b.shape[0] - off, wp))
                 pcc = lax.dynamic_slice(b, (off, 0), (cols[c].shape[1], wp))
                 cols[c] = _sub_matmul(cols[c], pc, pcc, tb=True,
                                       precision=precision).astype(dtype)
+            cols[p] = jnp.concatenate([jnp.tril(ld), b], axis=0)
         return tuple(cols)
 
     return jax.jit(chol, donate_argnums=tuple(range(nb)))
