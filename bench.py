@@ -69,7 +69,7 @@ def measure_matmul_peak(dtype, precision, n: int = 8192) -> float:
 
     chain(2)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         chain(8)
         t1 = time.perf_counter()
