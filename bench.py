@@ -79,7 +79,7 @@ def measure_matmul_peak(dtype, precision, n: int = 8192) -> float:
     return 2 * n**3 / best / 1e12
 
 
-def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth):
+def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth, panel=None):
     """Flagship path: TrapezoidMatrix storage, buffers donated per run.
     Each timed run factors a DISTINCT fresh SPD matrix (constructed
     untimed, as factorization benchmarks conventionally do); the slope
@@ -89,7 +89,7 @@ def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth):
 
     from numpywren_tpu.trapezoid import _trapezoid_chol_fn
 
-    panel = 8 * tile
+    panel = panel or 8 * tile
     nb = -(-n // panel)
     n_pad = nb * panel
     log(f"cholesky[trapezoid]: n={n} tile={tile} panel={panel} "
@@ -371,6 +371,8 @@ def main():
     p.add_argument("--layout", default="trapezoid", choices=["trapezoid", "flat"],
                    help="cholesky storage layout (trapezoid = donated "
                         "column blocks, the framework's hot path)")
+    p.add_argument("--panel", type=int, default=None,
+                   help="trapezoid column-block width (default 8*tile)")
     p.add_argument("--target-frac", type=float, default=0.70,
                    help="BASELINE.json north-star fraction of peak")
     args = p.parse_args()
@@ -383,7 +385,7 @@ def main():
     on_tpu = dev.platform == "tpu"
 
     defaults = {
-        "cholesky": (32768 if on_tpu else 512, 512 if on_tpu else 128),
+        "cholesky": (32768 if on_tpu else 512, 128),
         "gemm": (8192 if on_tpu else 1024, 512),
         "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
         "bdfac": (8192 if on_tpu else 256, 512 if on_tpu else 64),
@@ -403,7 +405,9 @@ def main():
     fn = {"cholesky": bench_cholesky, "gemm": bench_gemm, "tsqr": bench_tsqr,
           "bdfac": bench_bdfac}[args.alg]
     if args.alg == "cholesky" and args.layout == "trapezoid":
-        fn = bench_cholesky_trapezoid
+        import functools as _ft
+
+        fn = _ft.partial(bench_cholesky_trapezoid, panel=args.panel)
     tflops, per, extra = fn(n, tile, dtype, precision, args.syrk_depth)
 
     frac_peak = tflops / peak

@@ -46,7 +46,7 @@ class TrapezoidMatrix:
 
     # ------------------------------------------------------------ builders
     @classmethod
-    def from_array(cls, a, panel: int = 4096) -> "TrapezoidMatrix":
+    def from_array(cls, a, panel: int = 1024) -> "TrapezoidMatrix":
         """Slice the lower trapezoid out of a flat (n, n) array (device or
         host). Only the at/below-diagonal region is kept."""
         import jax.numpy as jnp
@@ -69,7 +69,7 @@ class TrapezoidMatrix:
         return cls(cols, n, panel)
 
     @classmethod
-    def from_tiled(cls, m, panel: int = 4096) -> "TrapezoidMatrix":
+    def from_tiled(cls, m, panel: int = 1024) -> "TrapezoidMatrix":
         """From a TiledMatrix (any tier); symmetric host tiers mirror."""
         arr = m.to_hbm().array if getattr(m, "storage", None) != "hbm" else m.array
         return cls.from_array(arr[: m.shape[0], : m.shape[1]], panel=panel)
@@ -167,7 +167,7 @@ def cholesky_trapezoid(t: TrapezoidMatrix, *, precision=None) -> TrapezoidMatrix
 
     if precision is None:
         precision = default_precision(t.dtype)
-    tile = min(512, t.panel)
+    tile = min(128, t.panel)  # measured sweet spot (BENCH.md)
     fn = _trapezoid_chol_fn(t.n_pad, t.panel, t.nb, tile, precision,
                             t.dtype.name, default_config().compensated)
     out_cols = fn(*t.cols)
