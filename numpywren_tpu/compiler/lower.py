@@ -586,7 +586,12 @@ def _run_fused_cholesky(program):
     s = _hbm(program, "S")
     o = _hbm(program, "O")
     truncate = program.consts.get("truncate", 0)
-    l = fused_cholesky(s.array, s.tile[0], truncate=truncate)
+    # the lowering's internal blocking is independent of the storage tile:
+    # 128 is the measured sweet spot (BENCH.md panel sweep) whenever it
+    # divides the padded size
+    n_pad = s.padded_shape[0]
+    inner = 128 if n_pad % 128 == 0 and truncate == 0 else s.tile[0]
+    l = fused_cholesky(s.array, inner, truncate=truncate)
     if truncate == 0:
         o.replace_array(l)
         s.free()
