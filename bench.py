@@ -125,12 +125,15 @@ def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth, panel=None):
     del warm_out
     gc.collect()
 
-    # slope between 1 and 2 donated runs, after one throwaway settle run
+    # slope between k1 and k2 donated runs, after one throwaway settle run
     # (the first run after bulk construction absorbs allocator work);
-    # repeat the whole measurement and keep the best slope
+    # repeat the whole measurement and keep the best slope. Legs scale
+    # with n so each leg is hundreds of ms against tens-of-ms wall noise.
+    k1, k2 = (1, 2) if n > 16384 else (3, 9)
     per = float("inf")
     for rep in range(2):
-        inputs = [make_cols(100 * rep + s) for s in range(1, 5)]
+        n_inputs = 1 + k1 + k2
+        inputs = [make_cols(100 * rep + s) for s in range(1, n_inputs + 1)]
         gc.collect()
 
         def chain(idxs):
@@ -147,13 +150,13 @@ def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth, panel=None):
 
         chain([0])  # settle
         t0 = time.perf_counter()
-        chain([1])
+        chain(list(range(1, 1 + k1)))
         t1 = time.perf_counter()
-        chain([2, 3])
+        chain(list(range(1 + k1, 1 + k1 + k2)))
         t2 = time.perf_counter()
-        this = (t2 - t1) - (t1 - t0)
-        if this <= 0:  # pathological scheduling noise: use the 2-run leg
-            this = (t2 - t1) / 2
+        this = ((t2 - t1) - (t1 - t0)) / (k2 - k1)
+        if this <= 0:  # pathological scheduling noise: use the long leg
+            this = (t2 - t1) / k2
         per = min(per, this)
         gc.collect()
     tflops = n**3 / 3 / per / 1e12
