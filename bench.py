@@ -391,7 +391,7 @@ def main():
         "cholesky": (32768 if on_tpu else 512, 128),
         "gemm": (8192 if on_tpu else 1024, 512),
         "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
-        "bdfac": (8192 if on_tpu else 256, 512 if on_tpu else 64),
+        "bdfac": (8192 if on_tpu else 256, 1024 if on_tpu else 64),
     }
     n = args.n or defaults[args.alg][0]
     tile = args.tile or defaults[args.alg][1]
