@@ -74,6 +74,27 @@ class TrapezoidMatrix:
         arr = m.to_hbm().array if getattr(m, "storage", None) != "hbm" else m.array
         return cls.from_array(arr[: m.shape[0], : m.shape[1]], panel=panel)
 
+    @classmethod
+    def from_block_fn(cls, block_fn, n: int, panel: int = 1024,
+                      dtype=np.float32) -> "TrapezoidMatrix":
+        """Build from a generator `block_fn(i, c) -> (panel, panel) array`
+        giving block row i of block column c (i >= c; only the lower
+        trapezoid is requested). This is how operands LARGER than half of
+        HBM are constructed at all — e.g. single-chip N=65536 Cholesky,
+        where no flat (n, n) array can ever exist (bench.py's blockwise-PRNG
+        SPD generator uses the same shape)."""
+        import jax.numpy as jnp
+
+        nb = cdiv(n, panel)
+        cols = []
+        for c in range(nb):
+            col = jnp.concatenate(
+                [jnp.asarray(block_fn(i, c), dtype=dtype) for i in range(c, nb)],
+                axis=0,
+            )
+            cols.append(col)
+        return cls(cols, n, panel)
+
     # ----------------------------------------------------------- accessors
     def to_array(self):
         """Assemble the flat (n, n) lower-triangular/trapezoid array."""

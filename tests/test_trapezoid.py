@@ -58,3 +58,21 @@ def test_matches_flat_fused():
     l_t = cholesky_trapezoid(t).numpy()
     l_f = np.asarray(fused_cholesky(jnp.asarray(a), tile=128))
     np.testing.assert_allclose(l_t, l_f, rtol=1e-4, atol=1e-5)
+
+
+def test_from_block_fn():
+    """Blockwise construction (the only way to build larger-than-half-HBM
+    operands) must agree with from_array on the same logical matrix."""
+    a = random_spd(192, seed=6)
+    panel = 64
+
+    def block_fn(i, c):
+        return a[i * panel : (i + 1) * panel, c * panel : (c + 1) * panel]
+
+    t1 = TrapezoidMatrix.from_block_fn(block_fn, 192, panel=panel)
+    t2 = TrapezoidMatrix.from_array(a, panel=panel)
+    np.testing.assert_allclose(t1.numpy(), t2.numpy(), rtol=1e-6)
+    l = cholesky_trapezoid(t1)
+    ln = l.numpy()
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-5
