@@ -14,7 +14,7 @@ lower-triangle-only S3 blocks, numpywren/matrix.py).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 
