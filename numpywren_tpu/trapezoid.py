@@ -27,8 +27,6 @@ class TrapezoidMatrix:
     [c*panel, n_pad) of columns [c*panel, (c+1)*panel) as one jax.Array."""
 
     def __init__(self, cols: Sequence, n: int, panel: int):
-        import jax.numpy as jnp
-
         self.n = int(n)
         self.panel = int(panel)
         self.nb = cdiv(self.n, self.panel)

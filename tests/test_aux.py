@@ -79,3 +79,14 @@ def test_cli_doctor_and_info(capsys):
     assert cli.main(["info"]) == 0
     info = json.loads(capsys.readouterr().out)
     assert len(info["devices"]) >= 1
+
+
+def test_metrics_trace_noop_and_dir(tmp_path):
+    from numpywren_tpu import metrics
+
+    with metrics.trace(None):
+        pass  # no-op path
+    with metrics.trace(str(tmp_path / "prof")):
+        import jax.numpy as jnp
+
+        (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
