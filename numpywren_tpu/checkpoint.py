@@ -67,12 +67,29 @@ def load_matrix(path: str, storage: str = "host") -> TiledMatrix:
 def program_frontier(program) -> Dict[str, List]:
     """The resume scan (reference: block_idxs_exist over outputs): nodes whose
     every output block already exists are 'done'; the rest are 'pending',
-    and 'ready' are pending nodes whose parents are all done."""
+    and 'ready' are pending nodes whose parents are all done.
+
+    Versioned scratch matrices alias every version onto one physical tile
+    (the reference gives each version its own S3 key), so for those the scan
+    consults the BoundArg's written-version map instead of bare existence:
+    a write of version v counts as done only once version >= v landed."""
+    from numpywren_tpu.runtime.program import PS
+
+    if program.program_status == PS.SUCCESS:
+        all_ids = list(range(program.num_nodes))
+        return {"done": all_ids, "pending": [], "ready": []}
+
+    def _write_done(ba, i, j, ver):
+        if ba.versioned and ver is not None:
+            return ba.matrix.block_exists(i, j) and ba.version_of((i, j)) >= ver
+        return ba.matrix.block_exists(i, j)
+
     done, pending = [], []
     for node in program.dag.nodes:
+        wvers = node.write_versions or (None,) * len(node.writes)
         outputs_exist = all(
-            program.matrices[name].matrix.block_exists(i, j)
-            for (name, i, j) in node.writes
+            _write_done(program.matrices[name], i, j, ver)
+            for (name, i, j), ver in zip(node.writes, wvers)
         )
         (done if outputs_exist else pending).append(node.node_id)
     done_set = set(done)

@@ -139,10 +139,28 @@ class BoundArg:
     name: str
     matrix: Any  # _TiledBase
     versioned: bool = False
+    # highest version written per physical tile (versioned matrices only).
+    # The reference stores each version as its own S3 key, so its resume
+    # scan (block_idxs_exist) distinguishes versions for free; here all
+    # versions alias one physical tile, so the frontier scan needs this map.
+    written_versions: Dict[Tuple[int, int], int] = dataclasses.field(
+        default_factory=dict, repr=False
+    )
 
     @property
     def phys_rank(self) -> int:
         return 2
+
+    def note_write(self, idx: Tuple[int, int], version) -> None:
+        if self.versioned and version is not None:
+            cur = self.written_versions.get(idx, 0)
+            if version > cur:
+                self.written_versions[idx] = version
+
+    def version_of(self, idx: Tuple[int, int]) -> int:
+        """Current version held by physical tile idx (0 = the bind-time
+        contents, e.g. scratch initialized from the input)."""
+        return self.written_versions.get(idx, 0)
 
 
 class ProgramTemplate:

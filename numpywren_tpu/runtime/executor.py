@@ -52,8 +52,11 @@ def execute_node_numpy(program: TiledProgram, node_id: int):
     outs = kernels.KERNELS[node.op](*args)
     if not isinstance(outs, tuple):
         outs = (outs,)
-    for (name, i, j), out in zip(node.writes, outs):
-        program.matrices[name].matrix.put_block(out, i, j)
+    wvers = node.write_versions or (None,) * len(node.writes)
+    for (name, i, j), out, ver in zip(node.writes, outs, wvers):
+        ba = program.matrices[name]
+        ba.matrix.put_block(out, i, j)
+        ba.note_write((i, j), ver)
 
 
 # ---------------------------------------------------------------------------
@@ -82,8 +85,18 @@ class LocalExecutor:
         with self._rng_lock:
             return self._rng.random()
 
-    def run(self, timeout: Optional[float] = None) -> PS:
-        roots = self.program.start()
+    def run(self, timeout: Optional[float] = None, resume: bool = False) -> PS:
+        """resume=True re-scans output blocks (the reference's
+        block_idxs_exist restart path) and only enqueues the frontier."""
+        if resume:
+            from numpywren_tpu.checkpoint import program_frontier
+
+            frontier = program_frontier(self.program)
+            roots = self.program.start(done=frontier["done"])
+            if self.program.program_status == PS.SUCCESS:
+                return PS.SUCCESS
+        else:
+            roots = self.program.start()
         for nid in roots:
             self._q.put(nid)
             if self._rand() < self.duplicate_rate:
@@ -315,7 +328,7 @@ class SpillTaskExecutor:
         self.program = program
         self.precision = precision
 
-    def run(self) -> PS:
+    def run(self, resume: bool = False) -> PS:
         import jax.numpy as jnp
 
         from numpywren_tpu.ops.common import default_precision
@@ -328,8 +341,18 @@ class SpillTaskExecutor:
         kers = _batched_kernels(precision)
         nodes = program.dag.nodes
 
-        program.start()
-        for level in program.levels:
+        done = set()
+        if resume:
+            from numpywren_tpu.checkpoint import program_frontier
+
+            done = set(program_frontier(program)["done"])
+            program.start(done=sorted(done))
+            if program.program_status == PS.SUCCESS:
+                return PS.SUCCESS
+        else:
+            program.start()
+        for full_level in program.levels:
+            level = [nid for nid in full_level if nid not in done]
             groups: Dict = {}
             for nid in level:
                 n = nodes[nid]
@@ -359,7 +382,10 @@ class SpillTaskExecutor:
                     host = np.asarray(out)
                     for i, n in enumerate(group):
                         name, bi, bj = n.writes[w_pos]
-                        program.matrices[name].matrix.put_block(host[i], bi, bj)
+                        ba = program.matrices[name]
+                        ba.matrix.put_block(host[i], bi, bj)
+                        if n.write_versions:
+                            ba.note_write((bi, bj), n.write_versions[w_pos])
             for nid in level:
                 program.node_status[nid] = NS.FINISHED
                 program._finished_count += 1
@@ -370,6 +396,8 @@ class SpillTaskExecutor:
 def _mark_success(program: TiledProgram):
     """Fused lowerings complete atomically; sync the state machine (parity
     with the node-level path so wait()/get_node_status keep working)."""
+    if program.program_status == PS.SUCCESS:
+        return  # a fused runner delegated to another executor internally
     program.start()
     for nid in range(program.num_nodes):
         program.node_status[nid] = NS.FINISHED
@@ -381,6 +409,7 @@ def run_program(
     program: TiledProgram,
     executor: str = "auto",
     num_workers: int = 4,
+    resume: bool = False,
     **kw,
 ) -> PS:
     """One-call execution (the alg_wrappers run helper).
@@ -391,7 +420,15 @@ def run_program(
       - "jax": generic static schedule on device (works for any program).
       - "local": dynamic threaded numpy runtime (reference job_runner parity).
       - "auto": fused when available, else jax.
+
+    resume=True (local/spill executors) restarts a half-run program from the
+    block-existence frontier instead of node 0 — the reference's implicit
+    checkpoint/resume (scan block_idxs_exist, re-enqueue the frontier).
     """
+    if resume and executor in ("local", "spill"):
+        if executor == "local":
+            return LocalExecutor(program, num_workers=num_workers, **kw).run(resume=True)
+        return SpillTaskExecutor(program, **kw).run(resume=True)
     if executor in ("auto", "fused"):
         from numpywren_tpu.compiler.lower import lower_fused
 

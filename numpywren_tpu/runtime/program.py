@@ -82,19 +82,37 @@ class TiledProgram:
         return kernels.flop_count(n.op, shapes)
 
     # ------------------------------------------------------- state machine
-    def start(self) -> List[int]:
+    def start(self, done=()) -> List[int]:
         """Initialize counters, mark root nodes READY, return them (the
-        reference enqueues these to SQS)."""
+        reference enqueues these to SQS).
+
+        ``done`` seeds already-completed nodes for a resume (the reference's
+        restart path re-scans block_idxs_exist and re-enqueues only the
+        frontier — SURVEY §5 checkpoint/resume): those nodes start FINISHED,
+        dependency counters exclude them, and the returned roots are the
+        resume frontier's ready set."""
+        done_set = set(done)
         with self._lock:
             if self.program_status != PS.NOT_STARTED:
                 raise RuntimeError("program already started")
-            self.program_status = PS.RUNNING
             roots = []
             for nid in range(self.num_nodes):
-                self.dep_count[nid] = len(self.dag.parents[nid])
+                if nid in done_set:
+                    self.node_status[nid] = NS.FINISHED
+                    self.dep_count[nid] = 0
+                    continue
+                self.dep_count[nid] = sum(
+                    1 for p in self.dag.parents[nid] if p not in done_set
+                )
                 if self.dep_count[nid] == 0:
                     self.node_status[nid] = NS.READY
                     roots.append(nid)
+            self._finished_count = len(done_set)
+            if self._finished_count == self.num_nodes:
+                self.program_status = PS.SUCCESS
+                self._cv.notify_all()
+            else:
+                self.program_status = PS.RUNNING
             return roots
 
     def cas_node_status(self, node_id: int, expect: NS, new: NS) -> bool:

@@ -180,8 +180,12 @@ class TiledMatrix(_TiledBase):
     Parameters mirror BigMatrix.__init__(key, shape, shard_sizes, bucket,
     dtype, parent_fn) where applicable; `storage` picks the tier:
 
-    - ``storage="hbm"``: one padded device array; every block "exists" once
-      the array is allocated (dense semantics). `sharding` may be a
+    - ``storage="hbm"``: one padded device array. Reads are dense (an
+      unwritten block reads back as ``fill``, or via ``parent_fn``), but
+      ``block_exists`` still means *computed* — only put_block /
+      replace_array mark a block as existing, preserving the reference's
+      block_idxs_exist resume contract (matrix.py::block_idxs_exist: a
+      block exists on S3 only once a task wrote it). `sharding` may be a
       jax.sharding.NamedSharding to lay tiles out over a mesh.
     - ``storage="host"``: dict of numpy tiles; sparse semantics identical to
       the reference store (missing blocks fall back to `parent_fn` or raise
@@ -215,7 +219,14 @@ class TiledMatrix(_TiledBase):
             jnp = _jnp()
             import jax
 
+            # _written = "computed" (put_block/replace_array happened) — the
+            # reference's block_idxs_exist resume contract (a block exists on
+            # S3 only once a task wrote it). _cached = parent_fn fallback
+            # results staged into the flat array for fast re-reads; cached
+            # blocks do NOT exist for resume purposes.
             self._written = np.zeros(self.grid, dtype=bool)
+            self._cached = np.zeros(self.grid, dtype=bool)
+            self._fill = fill
             if fill is None:
                 self._data = None  # allocated lazily on first put
             else:
@@ -223,9 +234,6 @@ class TiledMatrix(_TiledBase):
                 if sharding is not None:
                     arr = jax.device_put(arr, sharding)
                 self._data = arr
-                # dense semantics: an allocated fill-initialized array means
-                # every block exists (as `fill`), unlike the sparse host tier
-                self._written[:] = True
         elif storage == "host":
             self._tiles: Dict[Idx, np.ndarray] = {}
         else:
@@ -251,6 +259,7 @@ class TiledMatrix(_TiledBase):
         self._data = new_array
         if mark_written:
             self._written[:] = True
+            self._cached[:] = False
 
     # ------------------------------------------------------------- get/put
     def get_block(self, i: int, j: int):
@@ -262,12 +271,20 @@ class TiledMatrix(_TiledBase):
         """
         self._check_idx(i, j)
         if self.storage == "hbm":
-            if not self._written[i, j]:
-                blk = self._fallback(i, j)
-                # cache the fallback into the array so repeated reads are HBM hits
-                self.put_block(blk, i, j)
-                return self.get_block(i, j)
             ti, tj = self.tile
+            if not (self._written[i, j] or self._cached[i, j]):
+                if self.parent_fn is not None:
+                    # stage the fallback into the array so repeated reads are
+                    # HBM hits — but do NOT mark the block computed (the
+                    # reference's parent_fn reads never write back to S3)
+                    blk = self._fallback(i, j)
+                    self._stage_tile(blk, i, j)
+                    self._cached[i, j] = True
+                elif self._fill is None:
+                    raise BlockNotFoundError(
+                        f"block ({i},{j}) of {self.key} does not exist and no parent_fn"
+                    )
+                # else: the array slice already holds `fill` — dense read
             return self.array[i * ti : (i + 1) * ti, j * tj : (j + 1) * tj]
         else:
             with self._lock:
@@ -276,6 +293,19 @@ class TiledMatrix(_TiledBase):
                 blk = np.asarray(self._fallback(i, j))
                 blk = self._pad_tile(blk, i, j)
             return blk
+
+    def _stage_tile(self, arr, i: int, j: int):
+        """Write tile (i, j) into the flat HBM array without touching the
+        computed mask (shared by put_block and parent_fn staging)."""
+        import jax
+
+        jnp = _jnp()
+        blk = jnp.asarray(arr, dtype=self.dtype)
+        ti, tj = self.tile
+        if blk.shape != (ti, tj):
+            blk = jnp.asarray(self._pad_tile(np.asarray(arr), i, j))
+        with self._lock:
+            self._data = jax.lax.dynamic_update_slice(self.array, blk, (i * ti, j * tj))
 
     def _fallback(self, i: int, j: int):
         if self.parent_fn is not None:
@@ -303,16 +333,8 @@ class TiledMatrix(_TiledBase):
         reference's idempotent S3 writes that make task re-execution safe."""
         self._check_idx(i, j)
         if self.storage == "hbm":
-            import jax
-
-            jnp = _jnp()
-            blk = jnp.asarray(arr, dtype=self.dtype)
-            ti, tj = self.tile
-            if blk.shape != (ti, tj):
-                blk = jnp.asarray(self._pad_tile(np.asarray(arr), i, j))
-            with self._lock:
-                self._data = jax.lax.dynamic_update_slice(self.array, blk, (i * ti, j * tj))
-                self._written[i, j] = True
+            self._stage_tile(arr, i, j)
+            self._written[i, j] = True
         else:
             blk = self._pad_tile(np.asarray(arr), i, j)
             with self._lock:
@@ -322,8 +344,16 @@ class TiledMatrix(_TiledBase):
     def delete_block(self, i: int, j: int):
         self._check_idx(i, j)
         if self.storage == "hbm":
-            with self._lock:
-                self._written[i, j] = False
+            was = self._written[i, j] or self._cached[i, j]
+            self._written[i, j] = False
+            self._cached[i, j] = False
+            if was and self._fill is not None and self._data is not None:
+                # restore the fill so a dense read doesn't see stale data
+                ti, tj = self.tile
+                jnp = _jnp()
+                self._stage_tile(
+                    jnp.full((ti, tj), self._fill, dtype=self.dtype), i, j
+                )
         else:
             with self._lock:
                 self._tiles.pop((i, j), None)
@@ -339,6 +369,7 @@ class TiledMatrix(_TiledBase):
             if self.storage == "hbm":
                 self._data = None
                 self._written[:] = False
+                self._cached[:] = False
             else:
                 self._tiles.clear()
             self._freed = True
@@ -357,6 +388,8 @@ class TiledMatrix(_TiledBase):
         if self.storage == "hbm":
             out.replace_array(self.array)
             out._written = self._written.copy()
+            out._cached = self._cached.copy()
+            out._fill = self._fill
         else:
             import jax
 
