@@ -565,9 +565,19 @@ def _hbm_budget_bytes() -> int:
 
 
 def _run_fused_cholesky(program):
+    s_ba = program.matrices["S"]
+    # trapezoid tier: run natively on the column buffers (donating them) —
+    # the flagship perf path, no flat array ever exists
+    if getattr(s_ba.matrix, "storage", None) == "trapezoid":
+        from numpywren_tpu.trapezoid import cholesky_trapezoid
+
+        o_m = program.matrices["O"].matrix
+        l_trap = cholesky_trapezoid(s_ba.matrix.trap)
+        o_m.adopt(l_trap)
+        s_ba.matrix.free()  # buffers were donated to the factorization
+        return
     # out-of-HBM dispatch: a host-tier input too big for the chip streams
     # through runtime.spill instead of being promoted wholesale
-    s_ba = program.matrices["S"]
     truncate0 = program.consts.get("truncate", 0)
     if s_ba.matrix.storage == "host" and truncate0 == 0:
         m = s_ba.matrix
@@ -605,7 +615,29 @@ def _run_fused_cholesky(program):
         s.replace_array(jnp.where(mask_cols[None, :], 0.0, l).astype(l.dtype))
 
 
+def _spill_if_over_budget(program, factor: int = 2) -> bool:
+    """Host-tier operands whose wholesale promotion would exceed the HBM
+    budget run through the streaming SpillTaskExecutor instead of OOMing
+    (the cholesky runner has its own dedicated out-of-core path). Returns
+    True when the program was executed that way."""
+    total = 0
+    any_host = False
+    for ba in program.matrices.values():
+        m = ba.matrix
+        pm, pn = m.padded_shape
+        total += pm * pn * m.dtype.itemsize
+        any_host = any_host or m.storage != "hbm"
+    if any_host and factor * total > _hbm_budget_bytes():
+        from numpywren_tpu.runtime.executor import SpillTaskExecutor
+
+        SpillTaskExecutor(program).run()
+        return True
+    return False
+
+
 def _run_fused_bdfac(program):
+    if _spill_if_over_budget(program):
+        return
     s = _hbm(program, "S")
     b = _hbm(program, "B")
     out = fused_bdfac(s.array, s.tile[0])
@@ -614,6 +646,8 @@ def _run_fused_bdfac(program):
 
 
 def _run_fused_gemm(program):
+    if _spill_if_over_budget(program):
+        return
     a = _hbm(program, "A")
     b = _hbm(program, "B")
     c = _hbm(program, "C")
@@ -621,6 +655,8 @@ def _run_fused_gemm(program):
 
 
 def _run_fused_tsqr(program, compute_q: bool):
+    if _spill_if_over_budget(program):
+        return
     a = _hbm(program, "A")
     r_mat = _hbm(program, "R")
     n_leaves = program.consts["N"]

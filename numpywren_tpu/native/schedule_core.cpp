@@ -167,6 +167,17 @@ struct Builder {
   std::array<i64, 4> resolve(const Access& a) {
     i64 i = eval(a.idx0), j = eval(a.idx1);
     i64 v = a.vexpr >= 0 ? eval(a.vexpr) : -1;
+    // pack() gives matrix 7 usable bits (signed <<56), version+1 16, i/j 20
+    // each; an out-of-range address would silently alias distinct blocks to
+    // one key and corrupt the dependency graph. The "unsupported:" prefix
+    // makes the Python driver fall back to the (unbounded) Python passes.
+    if (a.matrix < 0 || a.matrix >= 128 || i < 0 || i >= (i64(1) << 20) ||
+        j < 0 || j >= (i64(1) << 20) || v < -1 || v + 1 >= (i64(1) << 16)) {
+      throw std::runtime_error(
+          "unsupported: block address outside packable range (matrix " +
+          std::to_string(a.matrix) + ", i " + std::to_string(i) + ", j " +
+          std::to_string(j) + ", version " + std::to_string(v) + ")");
+    }
     return {a.matrix, i, j, v};
   }
 

@@ -51,7 +51,10 @@ def compile_native(dag) -> Optional[bool]:
         buf = ctypes.create_string_buffer(4096)
         lib.npw_error(h, buf, 4096)
         lib.npw_free(h)
-        raise CompilationError(f"native schedule core: {buf.value.decode()}")
+        msg = buf.value.decode()
+        if msg.startswith("unsupported:"):
+            return None  # e.g. address outside packable range: Python handles it
+        raise CompilationError(f"native schedule core: {msg}")
 
     try:
         n = lib.npw_num_nodes(h)

@@ -71,11 +71,28 @@ class SpillCheckpoint:
     def manifest_file(self):
         return os.path.join(self.path, "manifest.json")
 
-    def completed(self) -> int:
+    def completed(self, expect_meta: Optional[dict] = None) -> int:
+        """Panels already done. When expect_meta is given, the saved manifest
+        must match it (same n/tile/panel_tiles) — resuming a checkpoint_dir
+        left over from a DIFFERENT factorization would silently skip panels
+        and return a wrong factor, so mismatch raises instead."""
         if not self.path or not os.path.exists(self.manifest_file):
             return 0
         with open(self.manifest_file) as f:
-            return json.load(f).get("panels_done", 0)
+            manifest = json.load(f)
+        if expect_meta:
+            mismatched = {
+                k: (manifest.get(k), v)
+                for k, v in expect_meta.items()
+                if manifest.get(k) != v
+            }
+            if mismatched:
+                raise ValueError(
+                    f"checkpoint at {self.path} belongs to a different run: "
+                    f"{{saved vs current}} {mismatched}; delete the directory "
+                    "or pass a fresh checkpoint_dir"
+                )
+        return manifest.get("panels_done", 0)
 
     def load_panel(self, s: int) -> np.ndarray:
         return np.load(os.path.join(self.path, f"panel_{s}.npy"))
@@ -128,7 +145,9 @@ def out_of_core_cholesky(
 
     ckpt = SpillCheckpoint(checkpoint_dir)
     n_panels = cdiv(g, panel_tiles)
-    start_panel = ckpt.completed()
+    start_panel = ckpt.completed(
+        expect_meta={"n": a.shape[0], "tile": t, "panel_tiles": panel_tiles}
+    )
     # resume: reload completed panels into the output store
     for s in range(start_panel):
         arr = ckpt.load_panel(s)
@@ -154,8 +173,15 @@ def out_of_core_cholesky(
         return jnp.concatenate([ld, rest], axis=0)
 
     # device-side LRU of uploaded L strips, keyed by source panel q; each
-    # strip is cached at its first (tallest) use, later panels slice a suffix
-    cache = LRUCache(cache_bytes) if cache_bytes > 0 else None
+    # strip is cached at its first (tallest) use, later panels slice a suffix.
+    # Entries are (row0_t, arr) tuples, so the byte accounting must look at
+    # the array member — the default size_fn would count tuples as 0 bytes
+    # and never evict.
+    cache = (
+        LRUCache(cache_bytes, size_fn=lambda v: v[1].nbytes)
+        if cache_bytes > 0
+        else None
+    )
     a.load_count = getattr(a, "load_count", 0)
 
     def load_strip(q: int, c0_t: int, rows_t: int, q_w: int):

@@ -113,3 +113,38 @@ def bad(A, B, N):
             t.bind(A=a, B=b, N=2)
     finally:
         os.environ.pop("NPW_NATIVE", None)
+
+
+def test_native_out_of_range_address_falls_back():
+    """Addresses outside pack()'s bit budget (i/j >= 2^20, matrix id >= 128,
+    version+1 >= 2^16) must NOT silently alias block keys: the core refuses
+    with an "unsupported" error, and the default (auto) mode falls back to
+    the Python passes, which handle any range (ADVICE r1)."""
+    from numpywren_tpu.exceptions import CompilationError
+    from numpywren_tpu.frontend import lpcompile
+    from numpywren_tpu.tiled import TiledMatrix
+
+    src = """
+def big(A, C, BIG):
+    for i in range(0, 1):
+        C[i, 0] = copy(A[i + BIG, 0])
+"""
+    t = lpcompile(src)
+    big = 1 << 21
+
+    def mk():
+        a = TiledMatrix(shape=((big + 1) * 8, 8), tile=(8, 8), storage="host")
+        c = TiledMatrix(shape=(8, 8), tile=(8, 8), storage="host")
+        return t.bind(A=a, C=c, BIG=big)
+
+    # forced-native mode surfaces the refusal instead of corrupting the DAG
+    os.environ["NPW_NATIVE"] = "1"
+    try:
+        with pytest.raises(CompilationError):
+            mk()
+    finally:
+        os.environ.pop("NPW_NATIVE", None)
+    # auto mode: silent fallback to the Python passes, correct addresses
+    prog = mk()
+    assert prog.num_nodes == 1
+    assert prog.dag.nodes[0].reads[0] == ("A", big, 0)

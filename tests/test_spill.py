@@ -148,3 +148,35 @@ def test_auto_dispatches_to_ooc(monkeypatch):
     ln = np.tril(l.numpy())
     resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
     assert resid < 1e-4
+
+
+def test_checkpoint_meta_mismatch_raises(tmp_path):
+    """A checkpoint_dir left by a DIFFERENT factorization must not be
+    silently resumed (it would skip panels and return a wrong factor)."""
+    ck = str(tmp_path / "ck")
+    a = random_spd(128, seed=5)
+    at = shard_matrix(a, tile=(32, 32), storage="host")
+    out_of_core_cholesky(at, panel_tiles=2, checkpoint_dir=ck)
+    # same dir, different matrix size -> refuse
+    b = random_spd(192, seed=6)
+    bt = shard_matrix(b, tile=(32, 32), storage="host")
+    with pytest.raises(ValueError, match="different run"):
+        out_of_core_cholesky(bt, panel_tiles=2, checkpoint_dir=ck)
+    # same dir, different panel_tiles -> refuse
+    with pytest.raises(ValueError, match="different run"):
+        out_of_core_cholesky(at, panel_tiles=1, checkpoint_dir=ck)
+
+
+def test_strip_cache_evicts_under_cap():
+    """The strip cache stores (row0, arr) tuples; byte accounting must see
+    the array (a zero-size default would retain everything and defeat the
+    out-of-core HBM bound)."""
+    import jax.numpy as jnp
+
+    from numpywren_tpu.utils import LRUCache
+
+    cache = LRUCache(1000, size_fn=lambda v: v[1].nbytes)
+    for q in range(5):
+        cache.put(q, (0, jnp.zeros((10, 10), jnp.float32)))  # 400 B each
+    assert len(cache._d) <= 2
+    assert cache._bytes <= 1000
