@@ -98,9 +98,24 @@ def matmul(
     if precision is None:
         precision = default_precision(a.dtype)
     if precision == jax.lax.Precision.HIGH:
-        # Mosaic dots only accept DEFAULT/HIGHEST; bf16x3 inputs get the
-        # accuracy from HIGHEST accumulate passes at the kernel level
-        precision = jax.lax.Precision.HIGHEST
+        # Mosaic dots only accept DEFAULT/HIGHEST. Upgrading to HIGHEST
+        # would run 6-pass bf16x6 (~2x slower than the intended 3-pass), so
+        # route HIGH through XLA's dot instead, with the epilogue left to
+        # XLA fusion — same policy as compiler/lower.py::_matmul. (The
+        # bf16x3 *compensated* Pallas path lives in ops/gemm3.py.)
+        lhs = jnp.swapaxes(a, 0, 1) if ta else a
+        rhs = jnp.swapaxes(b, 0, 1) if tb else b
+        acc = jax.lax.dot_general(
+            lhs,
+            rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        )
+        acc = acc * alpha
+        if c is not None:
+            acc = acc + beta * c.astype(jnp.float32)
+        return acc.astype(out_dtype)
     if interpret is None:
         interpret = interpret_default()
 
