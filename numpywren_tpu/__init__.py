@@ -22,7 +22,7 @@ Public API mirrors the reference's alg_wrappers one-liners:
 
 from numpywren_tpu.config import NpwConfig, default_config
 from numpywren_tpu.tiled import TiledMatrix, TiledSymmetricMatrix
-from numpywren_tpu.trapezoid import TrapezoidMatrix, cholesky_trapezoid
+from numpywren_tpu.trapezoid import TiledTrapezoidMatrix, TrapezoidMatrix, cholesky_trapezoid
 from numpywren_tpu import kernels
 from numpywren_tpu import exceptions
 
@@ -31,6 +31,7 @@ __version__ = "0.1.0"
 __all__ = [
     "TiledMatrix",
     "TiledSymmetricMatrix",
+    "TiledTrapezoidMatrix",
     "TrapezoidMatrix",
     "cholesky_trapezoid",
     "NpwConfig",

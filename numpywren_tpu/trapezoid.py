@@ -14,11 +14,12 @@ lower-triangle-only S3 blocks, numpywren/matrix.py).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
 from numpywren_tpu.exceptions import ShapeError
+from numpywren_tpu.tiled import _TiledBase
 from numpywren_tpu.utils import cdiv
 
 
@@ -120,6 +121,182 @@ class TrapezoidMatrix:
     def __repr__(self):
         return (f"TrapezoidMatrix(n={self.n}, panel={self.panel}, "
                 f"nb={self.nb}, dtype={self.dtype.name})")
+
+
+class TiledTrapezoidMatrix(_TiledBase):
+    """The trapezoid buffers exposed through the TiledMatrix block API —
+    ``storage == "trapezoid"`` — so DSL programs can bind the fastest
+    storage tier directly (``npw.cholesky(X, storage="trapezoid")``).
+
+    This is also the HALF-memory symmetric HBM tier (the reference's
+    BigSymmetricMatrix stores only the lower triangle on S3,
+    numpywren/matrix.py; the flat-HBM TiledSymmetricMatrix mirrors both
+    triangles and costs 2x): with ``symmetric=True``, upper-triangle reads
+    mirror-transpose the lower storage; with ``symmetric=False`` (a lower-
+    triangular factor) they read as zeros.
+
+    Tiles address the logical (i, j) grid of square ``tile`` blocks;
+    ``panel`` (the physical column-block width) must be a multiple of it.
+    """
+
+    def __init__(
+        self,
+        trap: Optional[TrapezoidMatrix] = None,
+        *,
+        key: Optional[str] = None,
+        n: Optional[int] = None,
+        tile: int = 512,
+        panel: int = 1024,
+        dtype=np.float32,
+        symmetric: bool = False,
+    ):
+        from numpywren_tpu.tiled import _anon_key
+
+        if trap is None:
+            if n is None:
+                raise ShapeError("need either a TrapezoidMatrix or n")
+            import jax.numpy as jnp
+
+            nb = cdiv(int(n), panel)
+            n_pad = nb * panel
+            cols = [
+                jnp.zeros((n_pad - c * panel, min(panel, n_pad - c * panel)),
+                          jnp.dtype(np.dtype(dtype).name))
+                for c in range(nb)
+            ]
+            trap = TrapezoidMatrix(cols, int(n), panel)
+        self.trap = trap
+        t = int(tile)
+        if trap.panel % t != 0:
+            raise ShapeError(f"tile {t} must divide panel {trap.panel}")
+        self.key = key or _anon_key("trz")
+        self.shape = (trap.n, trap.n)
+        self.tile = (t, t)
+        self.dtype = np.dtype(trap.dtype)
+        self.storage = "trapezoid"
+        self.symmetric = symmetric
+        self.parent_fn = None
+        self._written = np.zeros(self.grid, dtype=bool)
+
+    # -------------------------------------------------------- addressing
+    def _locate(self, i: int, j: int):
+        t = self.tile[0]
+        c = (j * t) // self.trap.panel
+        return c, i * t - c * self.trap.panel, j * t - c * self.trap.panel
+
+    def get_block(self, i: int, j: int):
+        self._check_idx(i, j)
+        if i < j:
+            if self.symmetric:
+                return self.get_block(j, i).T
+            import jax.numpy as jnp
+
+            return jnp.zeros(self.tile, self.dtype)  # upper of a lower factor
+        c, r0, c0 = self._locate(i, j)
+        t = self.tile[0]
+        return self.trap.cols[c][r0 : r0 + t, c0 : c0 + t]
+
+    def put_block(self, arr, i: int, j: int):
+        self._check_idx(i, j)
+        if i < j:
+            if self.symmetric:
+                return self.put_block(np.asarray(arr).T, j, i)
+            raise ShapeError(
+                f"upper-triangle write ({i},{j}) to non-symmetric trapezoid tier"
+            )
+        import jax
+        import jax.numpy as jnp
+
+        t = self.tile[0]
+        blk = jnp.asarray(arr, dtype=self.dtype)
+        if blk.shape != (t, t):
+            m, n = self.true_block_shape(i, j)
+            if blk.shape != (m, n):
+                raise ShapeError(
+                    f"block ({i},{j}) of {self.key}: expected {(t, t)} or "
+                    f"{(m, n)}, got {blk.shape}"
+                )
+            blk = jnp.zeros((t, t), self.dtype).at[:m, :n].set(blk)
+        c, r0, c0 = self._locate(i, j)
+        self.trap.cols[c] = jax.lax.dynamic_update_slice(
+            self.trap.cols[c], blk, (r0, c0)
+        )
+        self._written[i, j] = True
+        return (i, j)
+
+    def delete_block(self, i: int, j: int):
+        self._check_idx(i, j)
+        if i >= j:
+            self._written[i, j] = False
+        elif self.symmetric:
+            self._written[j, i] = False
+
+    def block_exists(self, i: int, j: int) -> bool:
+        if i >= j:
+            return bool(self._written[i, j])
+        return self.symmetric and bool(self._written[j, i])
+
+    # ------------------------------------------------------------ lifecycle
+    def adopt(self, trap: TrapezoidMatrix, written: bool = True):
+        """Take ownership of freshly computed column buffers (the fused
+        cholesky_trapezoid commit path)."""
+        if (trap.n, trap.panel) != (self.trap.n, self.trap.panel):
+            raise ShapeError(
+                f"adopt geometry mismatch: {(trap.n, trap.panel)} vs "
+                f"{(self.trap.n, self.trap.panel)}"
+            )
+        self.trap = trap
+        if written:
+            gm, _ = self.grid
+            for i in range(gm):
+                self._written[i, : i + 1] = True
+
+    def free(self):
+        self.trap.cols = [None] * self.trap.nb
+        self._written[:] = False
+
+    # ---------------------------------------------------------- conversions
+    def to_array(self):
+        """Flat logical (n, n) array: lower factor (tril) or the mirrored
+        full symmetric matrix."""
+        lower = self.trap.to_array()
+        if not self.symmetric:
+            return lower
+        import jax.numpy as jnp
+
+        return lower + lower.T - jnp.diag(jnp.diag(lower))
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self.to_array())
+
+    def to_hbm(self, sharding=None):
+        """Promote to a flat HBM TiledMatrix (generic-executor fallback)."""
+        import jax
+        import jax.numpy as jnp
+        from numpywren_tpu.tiled import TiledMatrix
+
+        out = TiledMatrix(
+            key=self.key + ":hbm", shape=self.shape, tile=self.tile,
+            dtype=self.dtype, storage="hbm", sharding=sharding, fill=None,
+        )
+        arr = self.to_array()
+        pm, pn = out.padded_shape
+        if arr.shape != (pm, pn):
+            pad = jnp.zeros((pm, pn), arr.dtype)
+            arr = jax.lax.dynamic_update_slice(pad, arr, (0, 0))
+            if self.symmetric:  # keep padded diagonal factorable
+                idx = jnp.arange(self.shape[0], pm)
+                arr = arr.at[idx, idx].set(1.0)
+        out.replace_array(arr, mark_written=False)
+        out._written = (
+            np.ones(out.grid, dtype=bool) if self.symmetric
+            else np.tril(np.ones(out.grid, dtype=bool))
+        )
+        return out
+
+    @property
+    def nbytes(self) -> int:
+        return self.trap.nbytes
 
 
 import functools

