@@ -22,8 +22,8 @@ class NpwConfig:
     accum_dtype: str = "float32"    # MXU accumulation dtype
     compensated: bool = False        # compensated (error-free) accumulation
     # -- mesh -----------------------------------------------------------
-    mesh_shape: Optional[Tuple[int, ...]] = None  # None => all devices, 1-D
-    mesh_axis_names: Tuple[str, ...] = ("d",)
+    mesh_shape: Optional[Tuple[int, int]] = None  # None => most-square over all devices
+    mesh_axis_names: Tuple[str, str] = ("rows", "cols")
     # -- memory ----------------------------------------------------------
     hbm_budget_bytes: Optional[int] = None  # None => autodetect
     spill_threshold: float = 0.85  # fraction of HBM before spilling to host
@@ -47,6 +47,11 @@ class NpwConfig:
             cfg.compensated = os.environ["NPW_COMPENSATED"] not in ("0", "false", "")
         if "NPW_MAX_WORKERS" in os.environ:
             cfg.max_workers = int(os.environ["NPW_MAX_WORKERS"])
+        if "NPW_PIPELINE_WIDTH" in os.environ:
+            cfg.pipeline_width = int(os.environ["NPW_PIPELINE_WIDTH"])
+        if "NPW_MESH_SHAPE" in os.environ:  # e.g. NPW_MESH_SHAPE=2x4
+            r, c = os.environ["NPW_MESH_SHAPE"].lower().split("x")
+            cfg.mesh_shape = (int(r), int(c))
         if "NPW_CHECKPOINT_DIR" in os.environ:
             cfg.checkpoint_dir = os.environ["NPW_CHECKPOINT_DIR"]
         return cfg

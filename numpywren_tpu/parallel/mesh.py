@@ -28,12 +28,25 @@ def _factor_2d(n: int) -> Tuple[int, int]:
 def make_mesh(
     devices: Optional[Sequence] = None,
     shape: Optional[Tuple[int, int]] = None,
-    axis_names: Tuple[str, str] = ("rows", "cols"),
+    axis_names: Optional[Tuple[str, str]] = None,
 ) -> Mesh:
-    """A 2-D (rows, cols) mesh over the given (default: all) devices."""
+    """A 2-D (rows, cols) mesh over the given (default: all) devices.
+
+    shape/axis_names default to NpwConfig.mesh_shape / mesh_axis_names
+    (NPW_MESH_SHAPE=RxC env override), falling back to the most-square
+    factorization of the device count."""
+    from numpywren_tpu.config import default_config
+
+    cfg = default_config()
     devices = list(devices if devices is not None else jax.devices())
     if shape is None:
+        shape = cfg.mesh_shape
+        if shape is not None and shape[0] * shape[1] != len(devices):
+            shape = None  # configured shape is for a different slice size
+    if shape is None:
         shape = _factor_2d(len(devices))
+    if axis_names is None:
+        axis_names = tuple(cfg.mesh_axis_names)
     r, c = shape
     if r * c != len(devices):
         raise ValueError(f"mesh shape {shape} != {len(devices)} devices")

@@ -67,11 +67,15 @@ class LocalExecutor:
     def __init__(
         self,
         program: TiledProgram,
-        num_workers: int = 4,
+        num_workers: Optional[int] = None,
         fault_rate: float = 0.0,
         seed: int = 0,
         duplicate_rate: float = 0.0,
     ):
+        if num_workers is None:
+            from numpywren_tpu.config import default_config
+
+            num_workers = default_config().max_workers
         self.program = program
         self.num_workers = num_workers
         self.fault_rate = fault_rate
@@ -408,7 +412,7 @@ def _mark_success(program: TiledProgram):
 def run_program(
     program: TiledProgram,
     executor: str = "auto",
-    num_workers: int = 4,
+    num_workers: Optional[int] = None,
     resume: bool = False,
     **kw,
 ) -> PS:

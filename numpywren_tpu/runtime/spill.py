@@ -114,13 +114,22 @@ def out_of_core_cholesky(
     checkpoint_dir: Optional[str] = None,
     out: Optional[TiledMatrix] = None,
     cache_bytes: int = 0,
+    pipeline_width: Optional[int] = None,
+    on_event=None,
 ) -> TiledMatrix:
     """Left-looking blocked Cholesky of a host-tier SPD TiledMatrix.
 
-    Only ~2 column super-panels are device-resident at any time (plus an
+    Only ~2-3 column super-panels are device-resident at any time (plus an
     optional `cache_bytes`-capped LRU of already-uploaded L strips — the
     reference worker's block cache, job_runner cache_size); works for
     matrices larger than HBM (BASELINE config #5). Returns a host-tier L.
+
+    pipeline_width >= 2 (default: NpwConfig.pipeline_width) double-buffers
+    panels: panel s+1's host assembly + H2D upload is issued BEFORE panel
+    s's result is fetched back, so the transfer rides under the device
+    compute — the reference worker's I/O-compute overlap
+    (upstream:numpywren/job_runner.py pipeline_width async S3 reads).
+    `on_event(kind, s)` is a test/trace hook (kinds: upload/factor/download).
     """
     import jax
     import jax.numpy as jnp
@@ -200,13 +209,32 @@ def out_of_core_cholesky(
     def lax_slice_rows(arr, r0, nrows):
         return jax.lax.dynamic_slice(arr, (r0, 0), (nrows, arr.shape[1]))
 
+    if pipeline_width is None:
+        from numpywren_tpu.config import default_config
+
+        pipeline_width = default_config().pipeline_width
+    event = on_event or (lambda kind, s: None)
+
+    def upload_panel(s: int):
+        """Assemble the input panel on host and issue its H2D transfer
+        (async dispatch: returns immediately, the copy rides under whatever
+        the device is computing)."""
+        c0 = s * panel_tiles
+        w_t = min(panel_tiles, g - c0)
+        rows_t = g - c0
+        host_panel = _panel_from_host(a, c0, c0, rows_t, w_t,
+                                      lower_mirror=lower_mirror)
+        event("upload", s)
+        return jnp.asarray(host_panel)
+
+    prefetched = {}
     for s in range(start_panel, n_panels):
         c0 = s * panel_tiles
         w_t = min(panel_tiles, g - c0)          # panel width in tiles
         rows_t = g - c0                          # rows from the diagonal down
-        # load panel (SPD: lower triangle mirrored for blocks above diagonal)
-        host_panel = _panel_from_host(a, c0, c0, rows_t, w_t, lower_mirror=lower_mirror)
-        panel = jnp.asarray(host_panel)
+        panel = prefetched.pop(s, None)
+        if panel is None:
+            panel = upload_panel(s)
         # stream updates from previously factored panels
         for q in range(s):
             q_w = min(panel_tiles, g - q * panel_tiles)
@@ -214,7 +242,13 @@ def out_of_core_cholesky(
             l_top = l_strip[: w_t * t]           # rows of the panel's columns
             panel = update(panel, l_strip, l_top)
         panel = factor_panel(panel)
+        event("factor", s)
+        # double-buffer: issue the NEXT panel's upload before blocking on
+        # this panel's D2H, so transfer and compute overlap
+        if pipeline_width >= 2 and s + 1 < n_panels:
+            prefetched[s + 1] = upload_panel(s + 1)
         host_l = np.asarray(panel)
+        event("download", s)
         # zero the strictly-upper tiles of the diagonal block region
         _panel_to_host(l_out, host_l, c0, c0)
         ckpt.save_panel(s, host_l, {"n": a.shape[0], "tile": t, "panel_tiles": panel_tiles})
