@@ -229,9 +229,13 @@ def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth, panel=None):
         return rec
 
     if big:
-        # both a_cols and l_cols do not fit together: sample a few column
-        # blocks, regenerating each input block on the fly
-        sample = sorted({0, 1, nb // 2, nb - 1})
+        # both a_cols and l_cols do not fit together, and the ragged
+        # trapezoid shapes make a one-jit full pass compile-prohibitive:
+        # sample 8 column blocks spread over first/middle/last panels
+        # (~12%+ of all entries at nb=64), regenerating each input block
+        # on the fly
+        sample = sorted({0, 1, 2, nb // 2 - 1, nb // 2, max(0, nb - 3),
+                         max(0, nb - 2), nb - 1})
         key0 = jax.random.PRNGKey(0)
         num = den = 0.0
         for c in sample:
@@ -357,6 +361,8 @@ def bench_gemm(n, tile, dtype, precision, syrk_depth):
 
 
 def bench_tsqr(n, tile, dtype, precision, syrk_depth, method="cholqr2"):
+    # method: cholqr2 (fast, kappa < ~3e3) | cholqr3s (robust to ~1e6,
+    # 1.5x cost) | tree (Householder, unconditional)
     import jax
     import jax.numpy as jnp
 
@@ -450,6 +456,8 @@ def main():
                         "column blocks, the framework's hot path)")
     p.add_argument("--panel", type=int, default=None,
                    help="trapezoid column-block width (default 8*tile)")
+    p.add_argument("--tsqr-method", default="cholqr2",
+                   choices=["cholqr2", "cholqr3s", "tree"])
     p.add_argument("--target-frac", type=float, default=0.70,
                    help="BASELINE.json north-star fraction of peak")
     args = p.parse_args()
@@ -462,10 +470,13 @@ def main():
     on_tpu = dev.platform == "tpu"
 
     defaults = {
-        "cholesky": (32768 if on_tpu else 512, 128),
+        # the BASELINE headline size; NPW_BENCH_FAST=1 drops to 32768
+        # (~6 min instead of ~30 incl. compiles) for quick iterations
+        "cholesky": ((32768 if __import__("os").environ.get("NPW_BENCH_FAST")
+                      else 65536) if on_tpu else 512, 128),
         "gemm": (8192 if on_tpu else 1024, 512),
         "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
-        "bdfac": (8192 if on_tpu else 256, 1024 if on_tpu else 64),
+        "bdfac": (8192 if on_tpu else 256, 512 if on_tpu else 64),  # 512 measured best (59% of peak, r2 sweep)
     }
     n = args.n or defaults[args.alg][0]
     tile = args.tile or defaults[args.alg][1]
@@ -481,6 +492,10 @@ def main():
 
     fn = {"cholesky": bench_cholesky, "gemm": bench_gemm, "tsqr": bench_tsqr,
           "bdfac": bench_bdfac}[args.alg]
+    if args.alg == "tsqr":
+        import functools as _ft
+
+        fn = _ft.partial(bench_tsqr, method=args.tsqr_method)
     if args.alg == "cholesky" and args.layout == "trapezoid":
         import functools as _ft
 
