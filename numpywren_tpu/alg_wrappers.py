@@ -242,14 +242,34 @@ def gemm(A: MatLike, B: MatLike, tile=None, storage: str = "hbm"):
 # TSQR
 # ---------------------------------------------------------------------------
 
+def _template_tsqr_kary(b_fac: int):
+    """Generated k-ary TSQR template (R path): the `reducer` construct with
+    branching factor b_fac > 2 (reference reducer's b_fac, SURVEY §2 L5).
+    Generated per b_fac because the reducer expansion is static."""
+    name = f"tsqr_b{b_fac}"
+    if name not in _templates:
+        src = (
+            f"def {name}(A, Q0, R, N, L):\n"
+            f"    for i in range(0, N):\n"
+            f"        Q0[i, 0], R[i, 0] = qr_leaf(A[i, 0])\n"
+            f"    reducer(R, qr_combine_r, copy, N, L, b_fac={b_fac})\n"
+        )
+        _templates[name] = lpcompile(src)
+    return _templates[name]
+
+
 def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm",
-         compute_q: bool = False, method: str = "tree"):
-    """Tall-skinny QR via binary tree reduction (reference alg_wrappers.tsqr).
+         compute_q: bool = False, method: str = "tree", b_fac: int = 2):
+    """Tall-skinny QR via tree reduction (reference alg_wrappers.tsqr).
 
     X: (m, b) with m >> b; row blocks of `tile_rows` rows form the leaves.
     Returns (program, outputs, meta) where outputs["R"] is the (b, b) final
     R TiledMatrix view holder and outputs["Q"] (if compute_q) the explicit
-    (m, b) thin Q."""
+    (m, b) thin Q. b_fac is the combine-tree branching factor (the
+    reference reducer's b_fac): >2 stacks b_fac R tiles per tree node,
+    shrinking tree depth from ceil(log2 N) to ceil(log_b N); the Q
+    reconstruction sweep is binary-only, so compute_q requires b_fac=2
+    on the DSL path (the fused lowering supports both)."""
     if isinstance(X, np.ndarray):
         m, b = X.shape
         tile_rows = min(tile_rows, m)
@@ -260,8 +280,16 @@ def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm",
         tile_rows = a_t.tile[0]
     if a_t.grid[1] != 1:
         raise ShapeError("tsqr expects a single tile column (m x b, b == tile width)")
+    if b_fac < 2:
+        raise ValueError(f"b_fac must be >= 2, got {b_fac}")
+    if b_fac != 2 and compute_q:
+        raise ShapeError("compute_q requires b_fac=2 on the DSL path "
+                         "(use run_program(..., executor='auto') fused lowering)")
     n_leaves = a_t.grid[0]
-    depth = max(1, math.ceil(math.log2(n_leaves))) if n_leaves > 1 else 0
+    depth, m_live = 0, n_leaves
+    while m_live > 1:  # depth = ceil(log_b n_leaves), exactly
+        m_live = cdiv(m_live, b_fac)
+        depth += 1
 
     def new(key, shape, tile):
         return TiledMatrix(key=key, shape=shape, tile=tile, dtype=a_t.dtype, storage=storage,
@@ -270,11 +298,15 @@ def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm",
 
     q0 = new("tsqr_Q0", (n_leaves * tile_rows, b), (tile_rows, b))
     r = new("tsqr_R", (n_leaves * b, (depth + 1) * b), (b, b))
-    qt = new("tsqr_QT", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
-    qb = new("tsqr_QB", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
 
     outputs = {"R": r, "R_block": (0, depth), "Q0": q0}
-    if compute_q:
+    if b_fac != 2:
+        program = _template_tsqr_kary(b_fac).bind(
+            A=a_t, Q0=q0, R=r, N=n_leaves, L=depth
+        )
+    elif compute_q:
+        qt = new("tsqr_QT", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
+        qb = new("tsqr_QB", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
         z = new("tsqr_Z", (n_leaves * b, (depth + 1) * b), (b, b))
         q = new("tsqr_Q", (n_leaves * tile_rows, b), (tile_rows, b))
         program = _template("tsqr_q").bind(
@@ -282,11 +314,14 @@ def tsqr(X: MatLike, tile_rows: int = 4096, storage: str = "hbm",
         )
         outputs["Q"] = q
     else:
+        qt = new("tsqr_QT", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
+        qb = new("tsqr_QB", (max(1, cdiv(n_leaves, 2)) * b, max(1, depth) * b), (b, b))
         program = _template("tsqr").bind(A=a_t, Q0=q0, R=r, QT=qt, QB=qb, N=n_leaves, L=depth)
     # fused-lowering knob: "tree" (robust combine tree) or "cholqr2"
     # (GEMM-only CholeskyQR2, ~20x faster on the MXU, needs moderate kappa)
-    program.fused_options = {"tsqr_method": method}
-    meta = {"n_leaves": n_leaves, "depth": depth, "tile_rows": tile_rows, "b": b, "logical_m": m}
+    program.fused_options = {"tsqr_method": method, "b_fac": b_fac}
+    meta = {"n_leaves": n_leaves, "depth": depth, "tile_rows": tile_rows, "b": b,
+            "logical_m": m, "b_fac": b_fac}
     return program, outputs, meta
 
 

@@ -558,51 +558,65 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
 
 
 def fused_tsqr_fn(n_leaves: int, tile_rows: int, b: int, *,
-                  compute_q: bool = False, precision=None, dtype=jnp.float32):
+                  b_fac: int = 2, compute_q: bool = False, precision=None,
+                  dtype=jnp.float32):
     """Jittable TSQR over the (n_leaves*tile_rows, b) flat array.
 
-    Leaf QRs batched (vmapped geqrf onto the MXU), then a static halving
-    tree: at level l the live R stack (m, b, b) pairs up into floor(m/2)
-    stacked (2b, b) QRs, batched again — exactly the DSL `reducer` tree
-    (algs.tsqr) with the whole level fused into one batched kernel.
+    Leaf QRs batched (vmapped geqrf onto the MXU), then a static b-ary
+    combine tree: at each level the live R stack (m, b, b) groups b_fac
+    consecutive blocks into stacked (b_fac*b, b) QRs, batched again —
+    exactly the DSL `reducer` tree (algs.tsqr / the reference reducer's
+    b_fac) with the whole level fused into one batched kernel. A lone
+    tail block passes through; a tail group of 2..b_fac-1 blocks is
+    zero-padded to a full group (QR of [Rs; 0] has the same R, and the
+    padded Q slices are sliced away in the downward sweep), keeping every
+    level one static-shape batched QR.
 
     Returns fn(a) -> R  (or (Q, R) when compute_q; Q reconstructed by the
     downward sweep of the combine factors, algs.tsqr_q).
     """
     if precision is None:
         precision = default_precision(dtype)
+    if b_fac < 2:
+        raise ValueError(f"b_fac must be >= 2, got {b_fac}")
 
     def tsqr(a):
         stack = a.reshape(n_leaves, tile_rows, b)
         q0, r = jnp.linalg.qr(stack, mode="reduced")  # batched leaf QR
-        # combine tree, static halving with odd pass-through
-        levels = []  # (q_top, q_bot, had_odd) per level, for Q reconstruction
+        # (q, m_in, tail) per level for the Q downward sweep: q is the
+        # (groups, b_fac*b, b) combine factor, m_in the live count entering
+        # the level, tail 1 when one block passed through unfactored
+        levels = []
         m = n_leaves
         while m > 1:
-            pairs = m // 2
-            odd = m - 2 * pairs
-            top = r[0 : 2 * pairs : 2]
-            bot = r[1 : 2 * pairs : 2]
-            stacked = jnp.concatenate([top, bot], axis=1)  # (pairs, 2b, b)
+            full = m // b_fac
+            rem = m - full * b_fac
+            if rem == 1:
+                body, tail = r[: full * b_fac], 1
+            elif rem == 0:
+                body, tail = r, 0
+            else:  # ragged group: zero-pad to a full stack
+                pad = jnp.zeros((b_fac - rem, b, b), r.dtype)
+                body, tail = jnp.concatenate([r, pad], axis=0), 0
+            g = body.shape[0] // b_fac
+            stacked = body.reshape(g, b_fac * b, b)
             q, r2 = jnp.linalg.qr(stacked, mode="reduced")
-            qt, qb = q[:, :b, :], q[:, b:, :]
-            if odd:
-                r2 = jnp.concatenate([r2, r[2 * pairs :]], axis=0)
-            levels.append((qt, qb, odd))
+            if tail:
+                r2 = jnp.concatenate([r2, r[full * b_fac :]], axis=0)
+            levels.append((q, m, tail))
             r = r2
-            m = pairs + odd
+            m = g + tail
         r_final = r[0]
         if not compute_q:
             return r_final
         # downward sweep: Z maps each leaf's local basis to the global one
         z = jnp.eye(b, dtype=a.dtype)[None]  # (1, b, b)
-        for qt, qb, odd in reversed(levels):
-            pairs = qt.shape[0]
-            z_pairs = z[:pairs]
-            z_top = jnp.matmul(qt, z_pairs, precision=precision)
-            z_bot = jnp.matmul(qb, z_pairs, precision=precision)
-            inter = jnp.stack([z_top, z_bot], axis=1).reshape(2 * pairs, b, b)
-            z = jnp.concatenate([inter, z[pairs:]], axis=0) if odd else inter
+        for q, m_in, tail in reversed(levels):
+            g = q.shape[0]
+            # (g, b_fac*b, b) @ (g, b, b) -> per-child transforms, stacked
+            z_child = jnp.matmul(q, z[:g], precision=precision)
+            z_child = z_child.reshape(g * b_fac, b, b)[: m_in - tail]
+            z = jnp.concatenate([z_child, z[g:]], axis=0) if tail else z_child
         q_full = jnp.matmul(q0, z, precision=precision)  # (leaves, rows, b)
         return q_full.reshape(n_leaves * tile_rows, b), r_final
 
@@ -610,31 +624,34 @@ def fused_tsqr_fn(n_leaves: int, tile_rows: int, b: int, *,
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_tsqr(n_leaves, tile_rows, b, compute_q, precision, dtype, method):
+def _jitted_tsqr(n_leaves, tile_rows, b, compute_q, precision, dtype, method,
+                 b_fac):
     if method == "cholqr2":
         fn = fused_cholqr2_fn(compute_q=compute_q, precision=precision, dtype=dtype)
     elif method == "cholqr3s":
         fn = fused_cholqr3s_fn(compute_q=compute_q, precision=precision, dtype=dtype)
     else:
-        fn = fused_tsqr_fn(n_leaves, tile_rows, b, compute_q=compute_q,
-                           precision=precision, dtype=dtype)
+        fn = fused_tsqr_fn(n_leaves, tile_rows, b, b_fac=b_fac,
+                           compute_q=compute_q, precision=precision, dtype=dtype)
     return jax.jit(fn)
 
 
 def fused_tsqr(a: jax.Array, tile_rows: int, *, compute_q: bool = False,
-               precision=None, method: str = "tree"):
+               precision=None, method: str = "tree", b_fac: int = 2):
     """Tall-skinny QR. method="cholqr2" (two GEMM passes — ~20x faster on
     the MXU than Householder, needs kappa(A) well below 1/sqrt(eps)),
     "cholqr3s" (shifted CholeskyQR3 — the fast ROBUST path, kappa up to
     ~1/eps at 1.5x cholqr2 cost), or "tree" (Householder combine tree —
-    slow but unconditionally stable, the last-resort fallback)."""
+    slow but unconditionally stable, the last-resort fallback). b_fac is
+    the tree method's branching factor (reducer b_fac parity): wider
+    nodes mean fewer, larger batched QR levels."""
     m, b = a.shape
     if m % tile_rows != 0:
         raise ValueError(f"rows {m} not a multiple of tile_rows {tile_rows}")
     if precision is None:
         precision = default_precision(a.dtype)
     fn = _jitted_tsqr(m // tile_rows, tile_rows, b, compute_q, precision,
-                      a.dtype, method)
+                      a.dtype, method, b_fac)
     return fn(a)
 
 
@@ -651,7 +668,7 @@ def lower_fused(program) -> Optional[Callable[[], None]]:
         inner = lambda: _run_fused_cholesky(program)  # noqa: E731
     elif name == "gemm":
         inner = lambda: _run_fused_gemm(program)  # noqa: E731
-    elif name in ("tsqr", "tsqr_q"):
+    elif name in ("tsqr", "tsqr_q") or name.startswith("tsqr_b"):
         inner = lambda: _run_fused_tsqr(program, compute_q=(name == "tsqr_q"))  # noqa: E731
     elif name == "bdfac":
         inner = lambda: _run_fused_bdfac(program)  # noqa: E731
@@ -805,14 +822,18 @@ def _run_fused_tsqr(program, compute_q: bool):
     depth = program.consts["L"]
     tile_rows = a.tile[0]
     b = a.tile[1]
-    method = getattr(program, "fused_options", {}).get("tsqr_method", "tree")
+    opts = getattr(program, "fused_options", {})
+    method = opts.get("tsqr_method", "tree")
+    b_fac = opts.get("b_fac", 2)
     arr = a.array[: n_leaves * tile_rows, :b]
     if compute_q:
-        q_arr, r_final = fused_tsqr(arr, tile_rows, compute_q=True, method=method)
+        q_arr, r_final = fused_tsqr(arr, tile_rows, compute_q=True,
+                                    method=method, b_fac=b_fac)
         q_mat = _hbm(program, "Q")
         pad = jnp.zeros(q_mat.padded_shape, q_mat.dtype)
         q_mat.replace_array(lax.dynamic_update_slice(pad, q_arr.astype(q_mat.dtype), (0, 0)))
     else:
-        r_final = fused_tsqr(arr, tile_rows, compute_q=False, method=method)
+        r_final = fused_tsqr(arr, tile_rows, compute_q=False,
+                             method=method, b_fac=b_fac)
     # final R lives at block (0, depth) of the R matrix (algs.tsqr layout)
     r_mat.put_block(r_final.astype(r_mat.dtype), 0, depth)

@@ -148,11 +148,12 @@ class _Parser:
 
     def expand_reducer(self, call: ast.Call, loops, conds) -> ForLoop:
         """The `reducer` construct (reference: numpywren frontend's reducer,
-        compiled into log-depth tree-reduction loop levels — SURVEY §2 L5):
+        compiled into log-depth tree-reduction loop levels with a branching
+        factor `b_fac` — SURVEY §2 L5):
 
-            reducer(ACC, *extras, combine, passthrough, N, L)
+            reducer(ACC, *extras, combine, passthrough, N, L, b_fac=2)
 
-        expands to the binary combine tree
+        With the default b_fac=2 it expands to the binary combine tree
 
             for l in range(0, L):
                 for i in range(0, cdiv(N, 2 ** (l + 1))):
@@ -162,14 +163,36 @@ class _Parser:
                     else:
                         ACC[i, l + 1] = passthrough(ACC[2 * i, l])
 
+        For b_fac = b > 2, `combine` names an arity FAMILY: the registry
+        must hold kernels f"{combine}{m}" for every group size m in 2..b
+        (e.g. qr_combine_r2..qr_combine_r4 for b_fac=4), and each level
+        combines groups of b children with a nested if-chain handling the
+        one ragged tail group (size 1 falls through to `passthrough`).
+
         ACC is versioned by tree level; `extras` receive the combine
         kernel's side outputs (len == kernel outputs - 1); N is the leaf
-        count, L the tree depth (both index expressions)."""
+        count, L the tree depth ceil(log_b(N)) (both index expressions);
+        b_fac must be a literal int (the expansion is static)."""
         args = call.args
-        if call.keywords or len(args) < 5:
+        b_fac = 2
+        if call.keywords:
+            if (len(call.keywords) != 1 or call.keywords[0].arg != "b_fac"
+                    or not isinstance(call.keywords[0].value, ast.Constant)
+                    or not isinstance(call.keywords[0].value.value, int)):
+                raise CompilationError(
+                    f"line {call.lineno}: reducer's only keyword is "
+                    f"b_fac=<int literal>"
+                )
+            b_fac = call.keywords[0].value.value
+            if not 2 <= b_fac <= kernels.MAX_REDUCER_ARITY:
+                raise CompilationError(
+                    f"line {call.lineno}: b_fac must be in "
+                    f"[2, {kernels.MAX_REDUCER_ARITY}], got {b_fac}"
+                )
+        if len(args) < 5:
             raise CompilationError(
                 f"line {call.lineno}: reducer(ACC, *extras, combine, "
-                f"passthrough, N, L) takes positional args only"
+                f"passthrough, N, L) requires >= 5 positional args"
             )
         n_src = ast.unparse(args[-2])
         l_src = ast.unparse(args[-1])
@@ -182,29 +205,59 @@ class _Parser:
         combine = names[-2].id
         passthrough = names[-1].id
         extras = [a.id for a in names[1:-2]]
-        for op in (combine, passthrough):
+        if passthrough not in kernels.KERNELS:
+            raise CompilationError(f"line {call.lineno}: unknown kernel {passthrough!r}")
+        if b_fac == 2:
+            arity_ops = {2: combine}
+        else:
+            arity_ops = {m: f"{combine}{m}" for m in range(2, b_fac + 1)}
+        n_out = None
+        for op in arity_ops.values():
             if op not in kernels.KERNELS:
                 raise CompilationError(f"line {call.lineno}: unknown kernel {op!r}")
-        want = kernels.N_OUTPUTS[combine] - 1
+            if n_out is None:
+                n_out = kernels.N_OUTPUTS[op]
+            elif kernels.N_OUTPUTS[op] != n_out:
+                raise CompilationError(
+                    f"line {call.lineno}: combine family {combine!r} has "
+                    f"inconsistent output counts across arities"
+                )
+        want = n_out - 1
         if len(extras) != want:
             raise CompilationError(
-                f"line {call.lineno}: {combine} has {want + 1} outputs; "
+                f"line {call.lineno}: {arity_ops[b_fac]} has {want + 1} outputs; "
                 f"reducer got {len(extras)} extra output matrices, need {want}"
             )
         lv = f"_rl{self.stmt_counter}"
         iv = f"_ri{self.stmt_counter}"
         extra_outs = "".join(f"{e}[{iv}, {lv}], " for e in extras)
-        src = (
-            f"for {lv} in range(0, {l_src}):\n"
-            f"    for {iv} in range(0, cdiv({n_src}, 2 ** ({lv} + 1))):\n"
-            f"        if 2 * {iv} + 1 < cdiv({n_src}, 2 ** {lv}):\n"
-            f"            {extra_outs}{acc}[{iv}, {lv} + 1] = "
-            f"{combine}({acc}[2 * {iv}, {lv}], {acc}[2 * {iv} + 1, {lv}])\n"
-            f"        else:\n"
-            f"            {acc}[{iv}, {lv} + 1] = "
-            f"{passthrough}({acc}[2 * {iv}, {lv}])\n"
+        b = b_fac
+        lines = [
+            f"for {lv} in range(0, {l_src}):",
+            f"    for {iv} in range(0, cdiv({n_src}, {b} ** ({lv} + 1))):",
+        ]
+        # nested if-chain over the tail group's size: a group of m children
+        # exists iff its last child b*i + m - 1 is below the level's live
+        # count cdiv(N, b**l); m == 1 degenerates to passthrough
+        pad = "        "
+        for m in range(b, 1, -1):
+            child_args = ", ".join(
+                (f"{acc}[{b} * {iv}, {lv}]" if c == 0
+                 else f"{acc}[{b} * {iv} + {c}, {lv}]") for c in range(m)
+            )
+            lines.append(
+                f"{pad}if {b} * {iv} + {m - 1} < cdiv({n_src}, {b} ** {lv}):"
+            )
+            lines.append(
+                f"{pad}    {extra_outs}{acc}[{iv}, {lv} + 1] = "
+                f"{arity_ops[m]}({child_args})"
+            )
+            lines.append(f"{pad}else:")
+            pad += "    "
+        lines.append(
+            f"{pad}{acc}[{iv}, {lv} + 1] = {passthrough}({acc}[{b} * {iv}, {lv}])"
         )
-        tree = ast.parse(src).body[0]
+        tree = ast.parse("\n".join(lines)).body[0]
         return self.parse_for(tree, loops, conds)
 
     def parse_block_ref(self, node) -> BlockRef:

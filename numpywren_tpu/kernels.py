@@ -146,6 +146,30 @@ def small_qr_apply(q: np.ndarray, a: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# k-ary combine family (the `reducer` construct's b_fac > 2 tree nodes —
+# reference parity: numpywren's reducer takes a branching factor and its
+# combine kernel stacks all children; SURVEY §2 L5. One registered kernel
+# per arity so the DSL's fixed-arity statements stay static.)
+# --------------------------------------------------------------------------
+
+def _make_qr_combine_r(m: int):
+    def f(*rs):
+        stacked = np.vstack([np.asarray(r, np.float64) for r in rs])
+        return np.linalg.qr(stacked, mode="r").astype(rs[0].dtype)
+
+    f.__name__ = f"qr_combine_r{m}"
+    f.__doc__ = (
+        f"R factor of the QR of {m} stacked b x b R tiles "
+        f"(k-ary TSQR tree node, R-only path)."
+    )
+    return f
+
+
+MAX_REDUCER_ARITY = 8
+_QR_COMBINE_R = {m: _make_qr_combine_r(m) for m in range(2, MAX_REDUCER_ARITY + 1)}
+
+
+# --------------------------------------------------------------------------
 # Full-Q pairwise kernels (BDFAC block bidiagonalization; the reference's
 # bdfac sweeps alternate panel QR and LQ — numpywren/algs.py bdfac,
 # kernels.qr_factor/lq_factor. We use the flat-tree form: absorb one tile
@@ -235,6 +259,7 @@ KERNELS = {
     "lq_factor2": lq_factor2,
     "lq_apply2": lq_apply2,
 }
+KERNELS.update({f.__name__: f for f in _QR_COMBINE_R.values()})
 
 # number of outputs per kernel (the DSL needs this for multi-assignment)
 N_OUTPUTS = {name: 1 for name in KERNELS}
@@ -270,6 +295,10 @@ def flop_count(op: str, shapes) -> int:
     if op == "qr_combine":
         n = shapes[0][0]
         return 2 * (2 * n) * n * n
+    if op.startswith("qr_combine_r"):
+        m = int(op[len("qr_combine_r"):])
+        n = shapes[0][0]
+        return 2 * (m * n) * n * n
     if op == "lq_leaf":
         m, n = shapes[0]
         return 2 * n * m * m

@@ -56,6 +56,13 @@ JAX_KERNELS = {
     "lq_factor2": factor.lq_factor2,
     "lq_apply2": factor.lq_apply2,
 }
+# k-ary reducer combine family (same arities as the numpy registry)
+from numpywren_tpu.kernels import MAX_REDUCER_ARITY  # noqa: E402
+
+JAX_KERNELS.update({
+    f"qr_combine_r{m}": factor._make_qr_combine_r(m)
+    for m in range(2, MAX_REDUCER_ARITY + 1)
+})
 
 
 def jax_kernel(name: str):

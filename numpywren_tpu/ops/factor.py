@@ -51,6 +51,17 @@ def qr_r(a: jax.Array) -> jax.Array:
     return jnp.linalg.qr(a, mode="r")
 
 
+def _make_qr_combine_r(m: int):
+    """R of the QR of m stacked R tiles (k-ary `reducer` tree node; matches
+    kernels.qr_combine_r{m} semantics)."""
+    @jax.jit
+    def f(*rs):
+        return jnp.linalg.qr(jnp.concatenate(rs, axis=0), mode="r")
+
+    f.__name__ = f"qr_combine_r{m}"
+    return f
+
+
 @jax.jit
 def lq_leaf(a: jax.Array):
     """Thin LQ of a (wide) tile: (L, Q)."""

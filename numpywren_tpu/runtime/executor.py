@@ -177,7 +177,16 @@ def _batched_kernels(precision):
         eye = jnp.eye(a.shape[-2], a.shape[-1], dtype=a.dtype)
         return jnp.broadcast_to(eye, a.shape)
 
+    def qr_combine_r(*rs):
+        return jnp.linalg.qr(jnp.concatenate(rs, axis=-2), mode="r")
+
+    from numpywren_tpu.kernels import MAX_REDUCER_ARITY
+
+    kary = {f"qr_combine_r{m}": qr_combine_r
+            for m in range(2, MAX_REDUCER_ARITY + 1)}
+
     return {
+        **kary,
         "potrf": lambda a: lax.linalg.cholesky(a),
         "trsm": lambda a, l: lax.linalg.triangular_solve(
             l, a, left_side=False, lower=True, transpose_a=True

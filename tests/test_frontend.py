@@ -228,3 +228,53 @@ def f(A, R, N, L):
 """
     with _pytest.raises(CompilationError):
         lpcompile(bad)  # qr_combine needs 2 extra outputs
+
+
+def test_reducer_kary_expansion():
+    """b_fac=4 `reducer` (reference reducer's branching factor, SURVEY §2
+    L5): one level-0 full group of 4 + one passthrough, then a final pair —
+    5 -> 2 -> 1 at depth ceil(log4 5) = 2."""
+    from numpywren_tpu.frontend import lpcompile
+    from numpywren_tpu.tiled import TiledMatrix
+
+    src = """
+def tsqr4(A, Q0, R, N, L):
+    for i in range(0, N):
+        Q0[i, 0], R[i, 0] = qr_leaf(A[i, 0])
+    reducer(R, qr_combine_r, copy, N, L, b_fac=4)
+"""
+    t = lpcompile(src)
+    n, depth = 5, 2
+    a = TiledMatrix(key="A", shape=(n * 16, 8), tile=(16, 8), storage="host",
+                    parent_fn=lambda m, i, j: np.zeros(m.tile, m.dtype))
+    q0 = TiledMatrix(key="Q0", shape=(n * 16, 8), tile=(16, 8), storage="host")
+    r = TiledMatrix(key="R", shape=(n * 8, (depth + 1) * 8), tile=(8, 8), storage="host")
+    prog = t.bind(A=a, Q0=q0, R=r, N=n, L=depth)
+    ops = prog.dag.stats()["ops"]
+    assert ops["qr_leaf"] == 5
+    assert ops["qr_combine_r4"] == 1  # level 0: leaves 0-3
+    assert ops["copy"] == 1           # level 0: leaf 4 passes through
+    assert ops["qr_combine_r2"] == 1  # level 1: the final pair
+    assert "qr_combine_r3" not in ops
+
+
+def test_reducer_kary_errors():
+    from numpywren_tpu.exceptions import CompilationError
+    from numpywren_tpu.frontend import lpcompile
+    import pytest as _pytest
+
+    with _pytest.raises(CompilationError):  # b_fac must be a literal int
+        lpcompile("""
+def f(A, R, N, L, B):
+    reducer(R, qr_combine_r, copy, N, L, b_fac=B)
+""")
+    with _pytest.raises(CompilationError):  # arity 9 kernels not registered
+        lpcompile("""
+def f(A, R, N, L):
+    reducer(R, qr_combine_r, copy, N, L, b_fac=9)
+""")
+    with _pytest.raises(CompilationError):  # no qr_combine3/4 family exists
+        lpcompile("""
+def f(A, R, QT, QB, N, L):
+    reducer(R, QT, QB, qr_combine, copy, N, L, b_fac=4)
+""")

@@ -87,6 +87,45 @@ def test_fused_tsqr_q(n_leaves):
     np.testing.assert_allclose(q.T @ q, np.eye(32), atol=1e-4)
 
 
+@pytest.mark.parametrize("n_leaves,b_fac", [(5, 4), (9, 3), (16, 4), (7, 8)])
+def test_fused_tsqr_r_kary(n_leaves, b_fac):
+    """b-ary fused combine tree (reducer b_fac parity): ragged tails are
+    zero-padded into one static batched QR per level; R must match."""
+    rng = np.random.default_rng(31)
+    a = rng.standard_normal((n_leaves * 64, 32)).astype(np.float32)
+    import jax.numpy as jnp
+
+    r = np.asarray(fused_tsqr(jnp.asarray(a), tile_rows=64, b_fac=b_fac))
+    np.testing.assert_allclose(
+        r.T @ r, (a.T @ a).astype(np.float32), rtol=1e-3, atol=1e-2
+    )
+
+
+@pytest.mark.parametrize("n_leaves,b_fac", [(5, 4), (10, 3)])
+def test_fused_tsqr_q_kary(n_leaves, b_fac):
+    """Q reconstruction through the b-ary downward sweep: padded combine-Q
+    slices must be discarded, leaving an exactly orthonormal thin Q."""
+    rng = np.random.default_rng(32)
+    a = rng.standard_normal((n_leaves * 64, 32)).astype(np.float32)
+    import jax.numpy as jnp
+
+    q, r = fused_tsqr(jnp.asarray(a), tile_rows=64, compute_q=True, b_fac=b_fac)
+    q, r = np.asarray(q), np.asarray(r)
+    np.testing.assert_allclose(q @ r, a, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(q.T @ q, np.eye(32), atol=1e-4)
+
+
+def test_program_tsqr_kary_fused():
+    rng = np.random.default_rng(33)
+    a = rng.standard_normal((6 * 64, 32)).astype(np.float32)
+    prog, outs, meta = npw.tsqr(a, tile_rows=64, b_fac=4)
+    npw.run_program(prog, executor="fused")
+    from numpywren_tpu.alg_wrappers import tsqr_r_factor
+
+    r = tsqr_r_factor(outs)
+    np.testing.assert_allclose(r.T @ r, a.T @ a, rtol=1e-3, atol=1e-2)
+
+
 # ---------------------------------------------------------------------------
 # program-level dispatch: run_program(executor="fused") == generic paths
 # ---------------------------------------------------------------------------

@@ -74,6 +74,14 @@ def test_tsqr_native_matches_python(rng, leaves):
     _compare(lambda: npw.tsqr(a, tile_rows=64, storage="host", compute_q=True)[0])
 
 
+@pytest.mark.parametrize("leaves,b_fac", [(5, 4), (18, 3)])
+def test_tsqr_kary_native_matches_python(rng, leaves, b_fac):
+    """The k-ary reducer's nested if-chain (b**l bounds, ragged-tail
+    conditions) must round-trip the C++ bytecode expr VM bit-exactly."""
+    a = rng.standard_normal((leaves * 64, 32)).astype(np.float32)
+    _compare(lambda: npw.tsqr(a, tile_rows=64, storage="host", b_fac=b_fac)[0])
+
+
 @pytest.mark.parametrize("n_tiles", [1, 2, 4])
 def test_bdfac_native_matches_python(rng, n_tiles):
     x = rng.standard_normal((n_tiles * 16, n_tiles * 16)).astype(np.float32)

@@ -77,6 +77,7 @@ def test_solver_nonaffine_tsqr():
 @pytest.mark.parametrize("alg,consts", [
     ("cholesky", {"N": 4, "truncate": 0}),
     ("tsqr", {"N": 5, "L": 3}),
+    ("tsqr_b4", {"N": 5, "L": 2}),
 ])
 def test_solver_agrees_with_static_schedule(alg, consts):
     """Property cross-check (SURVEY §4.4): the on-demand solver's
@@ -92,6 +93,13 @@ def test_solver_agrees_with_static_schedule(alg, consts):
         prog, _, _ = npw.cholesky(random_spd(4 * 16, seed=0), tile=(16, 16),
                                   storage="host")
         t = lpcompile(algs.cholesky)
+    elif alg == "tsqr_b4":
+        # k-ary reducer: the solver must handle the nested ragged-tail
+        # conditions (4**l bounds) by bounded enumeration
+        rng = np.random.default_rng(0)
+        prog, _, _ = npw.tsqr(rng.standard_normal((5 * 32, 16)).astype(np.float32),
+                              tile_rows=32, storage="host", b_fac=4)
+        t = prog.dag.template
     else:
         rng = np.random.default_rng(0)
         prog, _, _ = npw.tsqr(rng.standard_normal((5 * 32, 16)).astype(np.float32),
