@@ -6,14 +6,29 @@ groups the user-facing families in one place:
 
 - cholesky: SPD factorization A = L L^T (flagship)
 - gemm:     C = A @ B
-- tsqr:     tall-skinny QR (tree or CholeskyQR2)
-- bdfac:    block bidiagonalization (SVD precursor)
+- tsqr:     tall-skinny QR (tree, CholeskyQR2, shifted CholeskyQR3)
+- bdfac:    block bidiagonalization (SVD stage 1)
 
 Each returns (program, output_matrix/es, meta); run with
 numpywren_tpu.run_program. The DSL sources live in numpywren_tpu.algs; the
 fused device lowerings in numpywren_tpu.compiler.lower.
+
+On top of the factorizations, finished end-user models (beyond the
+reference, which stops at the precursors):
+
+- svd.singular_values:  two-stage sigma(A) — MXU BDFAC + banded GK finish
+- svd.svd_tall:         thin SVD of tall-skinny matrices (GEMM-only QR)
+- svd.randomized_svd:   rank-k truncated SVD (HMT sketch + power iteration)
+- lstsq.least_squares:  tall least squares (CholeskyQR or normal equations)
+- lstsq.ridge_regression: Tikhonov-regularized solve
 """
 
 from numpywren_tpu.alg_wrappers import bdfac, cholesky, gemm, tsqr, tsqr_r_factor
+from numpywren_tpu.models.lstsq import least_squares, ridge_regression
+from numpywren_tpu.models.svd import randomized_svd, singular_values, svd_tall
 
-__all__ = ["cholesky", "gemm", "tsqr", "bdfac", "tsqr_r_factor"]
+__all__ = [
+    "cholesky", "gemm", "tsqr", "bdfac", "tsqr_r_factor",
+    "singular_values", "svd_tall", "randomized_svd",
+    "least_squares", "ridge_regression",
+]

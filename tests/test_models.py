@@ -1,0 +1,156 @@
+"""models/: finished SVD + least-squares families built on the fused
+factorizations (the reference stops at the precursors; SURVEY §2 algs)."""
+
+import numpy as np
+import pytest
+
+from numpywren_tpu import models
+
+
+def _logspace_matrix(rng, m, n, kappa):
+    """Random matrix with logspace spectrum and condition number kappa."""
+    k = min(m, n)
+    u, _ = np.linalg.qr(rng.standard_normal((m, k)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, k)))
+    s = np.logspace(0, -np.log10(kappa), k)
+    return (u * s) @ v.T, s
+
+
+# ---------------------------------------------------------------------------
+# singular_values: two-stage BDFAC + banded Golub-Kahan finish
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("finish", ["band", "dense"])
+@pytest.mark.parametrize("n,tile", [(64, 16), (96, 32)])
+def test_singular_values(rng, finish, n, tile):
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    s = models.singular_values(x, tile=tile, finish=finish)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    assert s.shape == (n,)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_singular_values_pad(rng):
+    """n not a multiple of tile: zero-padding must not perturb sigma."""
+    x = rng.standard_normal((70, 70)).astype(np.float32)
+    s = models.singular_values(x, tile=32)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_singular_values_small_sigma_accuracy(rng):
+    """The GK banded finish must not square the condition number: small
+    singular values of a kappa=1e4 matrix keep relative accuracy."""
+    x, s_true = _logspace_matrix(rng, 64, 64, kappa=1e4)
+    x = x.astype(np.float32)
+    s = models.singular_values(x, tile=16)
+    np.testing.assert_allclose(s, s_true, rtol=5e-3, atol=1e-6)
+
+
+def test_singular_values_rejects_nonsquare(rng):
+    with pytest.raises(ValueError):
+        models.singular_values(rng.standard_normal((32, 16)))
+
+
+# ---------------------------------------------------------------------------
+# svd_tall / randomized_svd
+# ---------------------------------------------------------------------------
+
+def test_svd_tall(rng):
+    x = rng.standard_normal((512, 24)).astype(np.float32)
+    u, s, vt = models.svd_tall(x)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(u.T @ u, np.eye(24), atol=1e-3)
+    np.testing.assert_allclose((u * s) @ vt, x, rtol=1e-3, atol=1e-2)
+
+
+def test_svd_tall_ill_conditioned(rng):
+    """cholqr3s default handles kappa far beyond plain CholeskyQR2."""
+    x, s_true = _logspace_matrix(rng, 1024, 16, kappa=1e5)
+    x = x.astype(np.float32)
+    u, s, vt = models.svd_tall(x)
+    np.testing.assert_allclose(s, s_true, rtol=5e-3, atol=1e-7)
+    np.testing.assert_allclose(u.T @ u, np.eye(16), atol=1e-3)
+
+
+def test_randomized_svd_low_rank(rng):
+    """Exactly rank-r input: recovered factors reproduce it to fp32 grade."""
+    r = 6
+    u0, _ = np.linalg.qr(rng.standard_normal((200, r)))
+    v0, _ = np.linalg.qr(rng.standard_normal((80, r)))
+    s0 = np.linspace(5.0, 1.0, r)
+    x = ((u0 * s0) @ v0.T).astype(np.float32)
+    u, s, vt = models.randomized_svd(x, rank=r, power_iters=1)
+    assert u.shape == (200, r) and s.shape == (r,) and vt.shape == (r, 80)
+    np.testing.assert_allclose(s, s0, rtol=1e-3)
+    np.testing.assert_allclose((u * s) @ vt, x, atol=1e-3)
+    np.testing.assert_allclose(u.T @ u, np.eye(r), atol=1e-3)
+
+
+def test_randomized_svd_decaying_spectrum(rng):
+    """Full-rank input with fast decay: top-k sigma within a few percent
+    (the HMT bound with power iteration)."""
+    x, s_true = _logspace_matrix(rng, 256, 128, kappa=1e6)
+    x = x.astype(np.float32)
+    u, s, vt = models.randomized_svd(x, rank=10, power_iters=2)
+    np.testing.assert_allclose(s, s_true[:10], rtol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# least squares
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("method", ["qr", "normal"])
+def test_least_squares(rng, method):
+    a = rng.standard_normal((300, 20)).astype(np.float32)
+    b = rng.standard_normal((300,)).astype(np.float32)
+    x = models.least_squares(a, b, method=method)
+    x_ref, *_ = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                                rcond=None)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_least_squares_multi_rhs(rng):
+    a = rng.standard_normal((200, 16)).astype(np.float32)
+    b = rng.standard_normal((200, 3)).astype(np.float32)
+    x = models.least_squares(a, b)
+    x_ref, *_ = np.linalg.lstsq(a.astype(np.float64), b.astype(np.float64),
+                                rcond=None)
+    assert x.shape == (16, 3)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_least_squares_qr_beats_normal_when_ill_conditioned(rng):
+    """kappa ~ 3e3: the normal equations square it past fp32; the QR path
+    stays accurate — the reason method='qr' is the default."""
+    a, _ = _logspace_matrix(rng, 400, 12, kappa=3e3)
+    a = a.astype(np.float32)
+    x_true = rng.standard_normal(12).astype(np.float32)
+    b = (a.astype(np.float64) @ x_true).astype(np.float32)
+    x_qr = models.least_squares(a, b, method="qr")
+    x_ne = models.least_squares(a, b, method="normal")
+    err_qr = np.linalg.norm(x_qr - x_true) / np.linalg.norm(x_true)
+    err_ne = np.linalg.norm(x_ne - x_true) / np.linalg.norm(x_true)
+    assert err_qr < 1e-3
+    assert err_qr < err_ne
+
+
+def test_ridge_regression(rng):
+    a = rng.standard_normal((150, 10)).astype(np.float32)
+    b = rng.standard_normal((150,)).astype(np.float32)
+    alpha = 0.7
+    x = models.ridge_regression(a, b, alpha=alpha)
+    a64 = a.astype(np.float64)
+    x_ref = np.linalg.solve(a64.T @ a64 + alpha * np.eye(10),
+                            a64.T @ b.astype(np.float64))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-3, atol=1e-3)
+    with pytest.raises(ValueError):
+        models.ridge_regression(a, b, alpha=0.0)
+
+
+def test_least_squares_shape_errors(rng):
+    with pytest.raises(ValueError):
+        models.least_squares(rng.standard_normal((10, 20)), np.zeros(10))
+    with pytest.raises(ValueError):
+        models.least_squares(rng.standard_normal((20, 10)), np.zeros(21))
