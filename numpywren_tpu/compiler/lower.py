@@ -346,22 +346,29 @@ def _cholqr3s(p, precision):
     and at tile 256 kappa^2 * eps_bf16x3 reaches O(1), which produced NaN
     Grams on real-TPU bdfac runs — and passes 2-3 restore eps-grade
     orthogonality, which the Yamamoto reflector (and hence sigma
-    preservation) depends on."""
-    def one(x, shift):
+    preservation) depends on.
+
+    The shift scales with the SPECTRAL norm estimate ||G||_inf >= ||A||_2^2
+    (within sqrt(b) of it), not ||A||_F^2: Frobenius overestimates
+    ||A||_2^2 by up to b, and the resulting over-shift pushes pass 2's
+    Gram eigenvalues lambda/(lambda+s) down to roundoff — observed 2.8e-8
+    min-eig on the final square panel of a real-TPU bdfac run, one
+    roundoff draw away from a non-PD Gram."""
+    def one(x, shifted):
         g = jnp.matmul(x.T, x, precision=precision)
-        if shift is not None:
+        if shifted:
+            u = jnp.finfo(jnp.float32).eps
+            m, b = x.shape
+            lam_max = jnp.max(jnp.sum(jnp.abs(g), axis=1))  # >= ||x||_2^2
+            shift = 4.0 * u * (m * b) ** 0.5 * lam_max
             g = g + shift * jnp.eye(g.shape[0], dtype=g.dtype)
         l = lax.linalg.cholesky(g, symmetrize_input=True)
         q = lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
                                         transpose_a=True)
         return q, l
-    m, b = p.shape
-    u = jnp.finfo(jnp.float32).eps
-    norm2 = jnp.sum(p.astype(jnp.float32) ** 2)
-    shift = 4.0 * u * (m * b) ** 0.5 * norm2
-    q1, l1 = one(p, shift)
-    q2, l2 = one(q1, None)
-    q3, l3 = one(q2, None)
+    q1, l1 = one(p, True)
+    q2, l2 = one(q1, False)
+    q3, l3 = one(q2, False)
     r = jnp.matmul(l3.T, jnp.matmul(l2.T, l1.T, precision=precision),
                    precision=precision)
     return q3, r
@@ -531,36 +538,40 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
     orthogonality. A = Q R holds EXACTLY by construction in every pass
     (Q := X R^{-1}), so R3 R2 R1 is the R factor regardless of the shift.
 
-    Shift choice (fp32-tuned): s = 4 u sqrt(m b) ||A||_F^2. The paper's
+    Shift choice (fp32-tuned): s = 4 u sqrt(m b) ||G||_inf, where
+    ||G||_inf >= lambda_max(G) = ||A||_2^2 within sqrt(b). The paper's
     worst-case constant (11 u m b) is calibrated for fp64; at fp32 it
     over-shifts by orders of magnitude and pass 2 then inherits
-    kappa(Q1) ~ sqrt(s)/sigma_min > 1/sqrt(u) and breaks. The sqrt(m b)
-    probabilistic error bound keeps both sides safe — measured on the
-    logspace-spectrum family: clean through kappa = 1e6 (gram parity and
-    orthogonality ~1e-7), vs ~3e3 for plain CholeskyQR2. Beyond that the
-    Householder tree remains the fallback.
+    kappa(Q1) ~ sqrt(s)/sigma_min > 1/sqrt(u) and breaks. Scaling by
+    ||A||_F^2 has the same failure mode on square-ish panels (Frobenius
+    overestimates the spectral norm by up to b — observed on bdfac's final
+    diagonal panel). The Gram-inf-norm estimate keeps both sides safe —
+    measured on the logspace-spectrum family: clean through kappa = 1e6
+    (gram parity and orthogonality ~1e-7), vs ~3e3 for plain CholeskyQR2.
+    Beyond that the Householder tree remains the fallback.
 
     All three passes are GEMM + small-Cholesky shaped — ~1.5x the cost of
     CholeskyQR2 and ~13x faster than the Householder combine tree."""
     if precision is None:
         precision = default_precision(dtype)
 
-    def pass_shifted(x, shift):
+    def pass_shifted(x, shifted):
         g = jnp.matmul(x.T, x, precision=precision)
-        g = g + shift * jnp.eye(g.shape[0], dtype=g.dtype)
+        if shifted:
+            u = jnp.finfo(jnp.float32).eps
+            m, b = x.shape
+            lam_max = jnp.max(jnp.sum(jnp.abs(g), axis=1))  # >= ||x||_2^2
+            g = g + (4.0 * u * (m * b) ** 0.5 * lam_max) * jnp.eye(
+                g.shape[0], dtype=g.dtype)
         l = lax.linalg.cholesky(g, symmetrize_input=False)
         q = lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
                                         transpose_a=True)
         return q, l
 
     def f(a):
-        m, b = a.shape
-        u = jnp.finfo(jnp.float32).eps
-        norm2 = jnp.sum(a.astype(jnp.float32) ** 2)  # ||A||_F^2 >= ||A||_2^2
-        shift = 4.0 * u * (m * b) ** 0.5 * norm2
-        q1, l1 = pass_shifted(a, shift)
-        q2, l2 = pass_shifted(q1, 0.0)
-        q3, l3 = pass_shifted(q2, 0.0)
+        q1, l1 = pass_shifted(a, True)
+        q2, l2 = pass_shifted(q1, False)
+        q3, l3 = pass_shifted(q2, False)
         r = jnp.matmul(l3.T, jnp.matmul(l2.T, l1.T, precision=precision),
                        precision=precision)
         return (q3, r) if compute_q else r

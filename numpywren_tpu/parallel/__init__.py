@@ -7,6 +7,7 @@ mesh-sharded in HBM, panel broadcasts and trailing-update reductions ride
 ICI collectives inserted by GSPMD (or explicitly via shard_map in fabric).
 """
 
+from numpywren_tpu.parallel import distributed
 from numpywren_tpu.parallel.mesh import make_mesh, mesh_sharding, tile_sharding
 from numpywren_tpu.parallel.fabric import (
     cholesky_1d,
@@ -21,6 +22,7 @@ from numpywren_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "distributed",
     "make_mesh",
     "mesh_sharding",
     "tile_sharding",

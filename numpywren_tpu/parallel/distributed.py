@@ -1,0 +1,133 @@
+"""Multi-host execution: one JAX process per host, meshes spanning DCN.
+
+SURVEY §2 backend table row "DCN across hosts / jax.distributed.initialize
++ one process per host" — the TPU-pod analog of the reference's fleet of
+lambda workers sharing S3 (upstream:numpywren/job_runner.py workers +
+control plane): here the "control plane" is the JAX coordination service,
+and cross-host data movement is XLA collectives riding DCN instead of S3
+round trips.
+
+Usage (same script on every host):
+
+    from numpywren_tpu.parallel import distributed
+    distributed.initialize()            # env- or TPU-metadata-driven
+    mesh = make_mesh()                  # spans ALL hosts' devices
+    ... sharded_cholesky(a, tile, mesh) ...
+
+On Cloud TPU pods `initialize()` needs no arguments (JAX reads the pod
+metadata). Anywhere else, pass coordinator/num_processes/process_id or set
+NPW_COORDINATOR / NPW_NUM_PROCESSES / NPW_PROCESS_ID. All module functions
+are safe to call in single-process runs (they degrade to no-ops /
+process_count() == 1), so library code does not need to branch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+_initialized = False
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None,
+               local_device_ids=None) -> bool:
+    """Join the multi-host coordination service (idempotent).
+
+    Argument resolution order: explicit args, NPW_COORDINATOR /
+    NPW_NUM_PROCESSES / NPW_PROCESS_ID env vars, then JAX's own
+    auto-detection (TPU pod metadata / SLURM). Returns True when running
+    multi-process after the call, False for a plain single-process run
+    (no coordinator configured anywhere)."""
+    global _initialized
+    if _initialized:
+        return jax.process_count() > 1
+    coordinator = coordinator or os.environ.get("NPW_COORDINATOR")
+    if num_processes is None and os.environ.get("NPW_NUM_PROCESSES"):
+        num_processes = int(os.environ["NPW_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("NPW_PROCESS_ID"):
+        process_id = int(os.environ["NPW_PROCESS_ID"])
+    auto = (coordinator is None and num_processes is None
+            and process_id is None)
+    if auto and not _tpu_pod_env():
+        return False  # single process, nothing to join
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = local_device_ids
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        if not auto:
+            raise  # explicit config that doesn't work should be loud
+        # pod-looking env (e.g. TPU_WORKER_HOSTNAMES on a single-host
+        # tunnel) but JAX could not auto-detect a coordinator: single host
+        return False
+    _initialized = True
+    return jax.process_count() > 1
+
+
+def _tpu_pod_env() -> bool:
+    """Heuristic for 'initialize() can auto-detect': Cloud TPU pod or SLURM."""
+    return bool(os.environ.get("TPU_WORKER_HOSTNAMES")
+                or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+                or os.environ.get("SLURM_JOB_ID"))
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_multi_host() -> bool:
+    return jax.process_count() > 1
+
+
+def sync(name: str = "npw_sync") -> None:
+    """Barrier across all hosts (no-op single-process)."""
+    if not is_multi_host():
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def broadcast_from_host0(x):
+    """Replicate host-local data from process 0 to every process (the
+    analog of every worker reading one S3 object). No-op single-process."""
+    if not is_multi_host():
+        return x
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(x)
+
+
+def host_local_array(local_data: np.ndarray, global_shape, sharding) -> jax.Array:
+    """Assemble a global sharded jax.Array from each process's local block
+    of rows (jax.make_array_from_process_local_data): the multi-host way to
+    bind matrices too large for any single host's RAM."""
+    return jax.make_array_from_process_local_data(sharding, local_data,
+                                                  global_shape)
+
+
+def gather_to_hosts(x) -> np.ndarray:
+    """Fetch a (possibly cross-host-sharded) array as a full numpy array on
+    every process (process_allgather). For results small enough to
+    replicate — factors, residuals, test assertions."""
+    if not is_multi_host():
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
