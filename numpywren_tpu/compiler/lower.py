@@ -346,32 +346,110 @@ def _cholqr3s(p, precision):
     and at tile 256 kappa^2 * eps_bf16x3 reaches O(1), which produced NaN
     Grams on real-TPU bdfac runs — and passes 2-3 restore eps-grade
     orthogonality, which the Yamamoto reflector (and hence sigma
-    preservation) depends on.
+    preservation) depends on. See _cholqr_adaptive for the pass policy."""
+    return _cholqr_adaptive(p, precision, rows=False)
 
-    The shift scales with the SPECTRAL norm estimate ||G||_inf >= ||A||_2^2
-    (within sqrt(b) of it), not ||A||_F^2: Frobenius overestimates
-    ||A||_2^2 by up to b, and the resulting over-shift pushes pass 2's
-    Gram eigenvalues lambda/(lambda+s) down to roundoff — observed 2.8e-8
-    min-eig on the final square panel of a real-TPU bdfac run, one
-    roundoff draw away from a non-PD Gram."""
-    def one(x, shifted):
+
+def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 5):
+    """Adaptive CholeskyQR chain: thin QR (rows=False: p = q r, r upper
+    b x b) or thin LQ (rows=True: p = l q, l lower b x b) of p by repeated
+    Gram-Cholesky passes with shift-on-breakdown (_safe_gram_chol).
+
+    Pass policy: always two passes (CholeskyQR2 — quadratic convergence
+    gives eps-grade orthogonality whenever the plain factorizations
+    succeed), then up to max_passes - 2 further passes, each under
+    lax.cond firing ONLY if the previous pass needed a shift. One shifted
+    pass contracts kappa^2 by ~4 u sqrt(m b) (linear convergence while
+    shifted), so kappa ~ 1e6 in fp32 burns through ~4 shifted passes
+    before the plain quadratic cleanup — while the well-conditioned
+    common case (every panel of a typical bdfac/tsqr sweep) pays exactly
+    CholeskyQR2 cost: the conditional passes are skipped at runtime (TPU
+    executes one lax.cond branch), leaving only an identity-l in the
+    factor composition."""
+    def one(x):
+        l, ok = _safe_gram_chol(x, precision, rows=rows)
+        if rows:
+            q = lax.linalg.triangular_solve(l, x, left_side=True, lower=True)
+        else:
+            q = lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
+                                            transpose_a=True)
+        return q, l, ok
+
+    b = p.shape[0] if rows else p.shape[1]
+    eye = jnp.eye(b, dtype=p.dtype)
+    q, l, ok = one(p)
+    ls = [l]
+    q, l, ok = one(q)
+    ls.append(l)
+    for _ in range(max_passes - 2):
+        q, l, ok = lax.cond(ok,
+                            lambda q: (q, eye, jnp.bool_(True)),
+                            lambda q: one(q), q)
+        ls.append(l)
+    if rows:
+        total = ls[0]
+        for li in ls[1:]:
+            total = jnp.matmul(total, li, precision=precision)
+    else:
+        total = ls[-1].T
+        for li in reversed(ls[:-1]):
+            total = jnp.matmul(total, li.T, precision=precision)
+    return q, total
+
+
+def _safe_gram_chol(x, precision, rows: bool = False):
+    """Lower Cholesky factor of the Gram matrix G = x^T x (x x^T when
+    rows=True), with SHIFT-ON-BREAKDOWN: factor G plainly; if that produced
+    non-finite entries (G numerically indefinite), select the factorization
+    of G + s I instead, s = 4 u sqrt(m b) ||G||_inf. Both factorizations
+    are b x b — two tiny cholesky calls buy a branch-free lax-friendly
+    select.
+
+    Why this composition (every simpler one failed on real-TPU runs):
+    - plain CholeskyQR2 panels break down: kappa(square random block) ~ n,
+      kappa^2 u reaches O(1) at tile 256+ (NaN Grams in bdfac);
+    - shifting PASS 1 ONLY (paper sCholQR3) caps kappa(Q1)^2 at
+      ~s/sigma_min^2, which for kappa ~ 1e6 in fp32 still exceeds 1/u and
+      breaks pass 2;
+    - shifting EVERY pass unconditionally floors the final orthogonality
+      error at ~shift level (~1e-2 observed at kappa = 1e5): a shifted
+      pass converges linearly, an unshifted one quadratically.
+    Shift-on-breakdown composes both: shifted only while the iterate is
+    bad enough to break the plain factorization, quadratic cleanup after.
+    The shift scales with ||G||_inf >= ||A||_2^2 (within sqrt(b)), NOT
+    ||A||_F^2 — Frobenius overestimates by up to b, and the over-shift
+    pushes the next pass's Gram eigenvalues to roundoff (2.8e-8 min-eig
+    observed on bdfac's final square panel).
+
+    "Breakdown" is judged by the PIVOTS, not just NaN: a numerically
+    near-singular Gram can factor to finite garbage (observed at
+    kappa = 1e5 on CPU: finite L, final orthogonality stuck at ~7e-3).
+    The plain factorization is accepted only when
+    min(diag(L))^2 > 4 u sqrt(m b) ||G||_inf — pivots above the Gram's
+    own roundoff floor, the regime where CholeskyQR converges
+    quadratically.
+
+    Returns (l, ok): ok=False means the shifted branch was taken. The
+    shifted factorization runs under lax.cond, so the common
+    (well-conditioned) case pays for exactly one b x b cholesky."""
+    if rows:
+        g = jnp.matmul(x, x.T, precision=precision)
+        b, m = x.shape
+    else:
         g = jnp.matmul(x.T, x, precision=precision)
-        if shifted:
-            u = jnp.finfo(jnp.float32).eps
-            m, b = x.shape
-            lam_max = jnp.max(jnp.sum(jnp.abs(g), axis=1))  # >= ||x||_2^2
-            shift = 4.0 * u * (m * b) ** 0.5 * lam_max
-            g = g + shift * jnp.eye(g.shape[0], dtype=g.dtype)
-        l = lax.linalg.cholesky(g, symmetrize_input=True)
-        q = lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
-                                        transpose_a=True)
-        return q, l
-    q1, l1 = one(p, True)
-    q2, l2 = one(q1, False)
-    q3, l3 = one(q2, False)
-    r = jnp.matmul(l3.T, jnp.matmul(l2.T, l1.T, precision=precision),
-                   precision=precision)
-    return q3, r
+        m, b = x.shape
+    u = jnp.finfo(jnp.float32).eps
+    lam_max = jnp.max(jnp.sum(jnp.abs(g), axis=1))  # >= ||x||_2^2
+    floor = 4.0 * u * (m * b) ** 0.5 * lam_max
+    l_plain = lax.linalg.cholesky(g, symmetrize_input=True)
+    pivots = jnp.diagonal(l_plain)
+    ok = jnp.all(jnp.isfinite(l_plain)) & (jnp.min(pivots * pivots) > floor)
+
+    def reshifted():
+        eye = jnp.eye(g.shape[0], dtype=g.dtype)
+        return lax.linalg.cholesky(g + floor * eye, symmetrize_input=True)
+
+    return lax.cond(ok, lambda: l_plain, reshifted), ok
 
 
 def _panel_qr_update_cholqr(panel, trailing, precision):
@@ -400,6 +478,43 @@ def _panel_qr_update_cholqr(panel, trailing, precision):
         trailing = trailing - jnp.matmul(w, w2, precision=precision)
     # H^T panel = E Sigma R: the factor's row block is Sigma R (still upper)
     return sigma[:, None] * r, trailing
+
+
+def _cholqr3s_rows(p, precision):
+    """Row-form shifted CholeskyQR3: thin LQ of wide `p` (b x m) as
+    p = l @ qr with l lower-triangular (b x b) and qr row-orthonormal
+    (b x m). The exact mirror of _cholqr3s with the Gram taken as p p^T
+    and the triangular solve from the left — no transpose of `p` is ever
+    materialized (the MXU absorbs the transposition inside the GEMM)."""
+    return _cholqr_adaptive(p, precision, rows=True)
+
+
+def _panel_lq_update_cholqr(panel, body, precision):
+    """Right-side mirror of _panel_qr_update_cholqr for the LQ sweep:
+    LQ-factor the wide row `panel` (b x m) and apply the full orthogonal
+    factor from the RIGHT to `body` (rows x m), entirely in row
+    orientation — the transpose-and-reuse-the-QR-path alternative costs
+    two full HBM passes per sweep step (materializing body.T in and
+    body_t.T out), which profiling showed as a ~30% tax at n=8192.
+
+    With qr (b x m) row-orthonormal from _cholqr3s_rows, the Yamamoto
+    basis-kernel factor is H = I - W S W^T for W = qr^T Sigma - E
+    (H E = qr^T Sigma exactly); panel H = [l Sigma, 0] and
+    body H = body - (body W) S W^T, where every product against
+    W = Wr^T rides the GEMM's transpose flag. Returns (l Sigma, body')."""
+    b = panel.shape[0]
+    qr_, l = _cholqr3s_rows(panel, precision)
+    q1 = qr_[:, :b]  # (b, b): Q1^T in the column-form derivation
+    d = jnp.diagonal(q1)
+    sigma = -jnp.where(d >= 0, 1.0, -1.0).astype(qr_.dtype)
+    wr = qr_ * sigma[:, None]          # (b, m): W^T
+    wr = wr.at[:, :b].add(-jnp.eye(b, dtype=qr_.dtype))
+    s_inv = jnp.eye(b, dtype=qr_.dtype) - sigma[:, None] * q1
+    if body is not None and body.shape[0]:
+        u1 = jnp.matmul(body, wr.T, precision=precision)   # (rows, b) = B W
+        u2 = jnp.linalg.solve(s_inv.T, u1.T).T             # u1 @ S
+        body = body - jnp.matmul(u2, wr, precision=precision)
+    return l * sigma[None, :], body
 
 
 def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
@@ -446,15 +561,25 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
             if cols_right == 0:
                 continue
             if g - k - 1 >= 2:
-                # LQ on the row panel = QR of its transpose
                 row_pan = lax.dynamic_slice(trailing, (0, 0), (tile, cols_right))
                 body = lax.dynamic_slice(trailing, (tile, 0),
                                          (rows - tile, cols_right))
-                l_t, body_t = panel_update(
-                    row_pan.T, body.T if rows - tile else None, precision
-                )
-                out = _dus(out, l_t.T.astype(out.dtype), c0, c1)
-                a = _dus(a, body_t.T.astype(a.dtype), c1, c1)
+                if panel_method == "cholqr":
+                    # row-form LQ: no body.T / body_t.T materialization
+                    # (two full HBM passes per sweep step saved)
+                    l_blk, body2 = _panel_lq_update_cholqr(
+                        row_pan, body if rows - tile else None, precision
+                    )
+                    out = _dus(out, l_blk.astype(out.dtype), c0, c1)
+                    a = _dus(a, body2.astype(a.dtype), c1, c1)
+                else:
+                    # Householder path: LQ on the row panel = QR of its
+                    # transpose
+                    l_t, body_t = panel_update(
+                        row_pan.T, body.T if rows - tile else None, precision
+                    )
+                    out = _dus(out, l_t.T.astype(out.dtype), c0, c1)
+                    a = _dus(a, body_t.T.astype(a.dtype), c1, c1)
             else:
                 # single superdiagonal block: lands in out as-is
                 out = _dus(out, trailing[:tile].astype(out.dtype), c0, c1)
@@ -538,43 +663,25 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
     orthogonality. A = Q R holds EXACTLY by construction in every pass
     (Q := X R^{-1}), so R3 R2 R1 is the R factor regardless of the shift.
 
-    Shift choice (fp32-tuned): s = 4 u sqrt(m b) ||G||_inf, where
-    ||G||_inf >= lambda_max(G) = ||A||_2^2 within sqrt(b). The paper's
-    worst-case constant (11 u m b) is calibrated for fp64; at fp32 it
-    over-shifts by orders of magnitude and pass 2 then inherits
-    kappa(Q1) ~ sqrt(s)/sigma_min > 1/sqrt(u) and breaks. Scaling by
-    ||A||_F^2 has the same failure mode on square-ish panels (Frobenius
-    overestimates the spectral norm by up to b — observed on bdfac's final
-    diagonal panel). The Gram-inf-norm estimate keeps both sides safe —
-    measured on the logspace-spectrum family: clean through kappa = 1e6
-    (gram parity and orthogonality ~1e-7), vs ~3e3 for plain CholeskyQR2.
-    Beyond that the Householder tree remains the fallback.
+    Shift policy: every pass uses the shift-on-breakdown Cholesky
+    (_safe_gram_chol — shifted by s = 4 u sqrt(m b) ||G||_inf only when
+    the plain factorization of that pass's Gram comes back non-finite).
+    The paper's worst-case constant (11 u m b ||A||_2^2) is calibrated
+    for fp64; at fp32 it over-shifts by orders of magnitude. Measured on
+    the logspace-spectrum family: clean through kappa = 1e6, vs ~3e3 for
+    plain CholeskyQR2. Beyond that the Householder tree remains the
+    fallback.
 
-    All three passes are GEMM + small-Cholesky shaped — ~1.5x the cost of
-    CholeskyQR2 and ~13x faster than the Householder combine tree."""
+    All passes are GEMM + small-Cholesky shaped; pass 3 runs under
+    lax.cond only when a shift fired, so the well-conditioned common case
+    costs exactly CholeskyQR2 (worst case ~1.5x, still ~13x faster than
+    the Householder combine tree)."""
     if precision is None:
         precision = default_precision(dtype)
 
-    def pass_shifted(x, shifted):
-        g = jnp.matmul(x.T, x, precision=precision)
-        if shifted:
-            u = jnp.finfo(jnp.float32).eps
-            m, b = x.shape
-            lam_max = jnp.max(jnp.sum(jnp.abs(g), axis=1))  # >= ||x||_2^2
-            g = g + (4.0 * u * (m * b) ** 0.5 * lam_max) * jnp.eye(
-                g.shape[0], dtype=g.dtype)
-        l = lax.linalg.cholesky(g, symmetrize_input=False)
-        q = lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
-                                        transpose_a=True)
-        return q, l
-
     def f(a):
-        q1, l1 = pass_shifted(a, True)
-        q2, l2 = pass_shifted(q1, False)
-        q3, l3 = pass_shifted(q2, False)
-        r = jnp.matmul(l3.T, jnp.matmul(l2.T, l1.T, precision=precision),
-                       precision=precision)
-        return (q3, r) if compute_q else r
+        q, r = _cholqr_adaptive(a, precision, rows=False)
+        return (q, r) if compute_q else r
 
     return f
 

@@ -12,6 +12,8 @@ import hashlib
 import itertools
 from typing import Iterable, Iterator, List, Sequence, Tuple
 
+import numpy as np
+
 
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -99,3 +101,56 @@ class LRUCache:
     @property
     def nbytes(self):
         return self._bytes
+
+
+class MmapArray:
+    """A numpy array backed by an on-disk memory map (reference
+    matrix_utils.MmapArray): the landing buffer for matrices larger than
+    host RAM when materializing a tiled matrix locally. Create, fill via
+    `[...]` assignment, `flush()`, reopen later with `load()`."""
+
+    def __init__(self, path: str, shape: Tuple[int, ...], dtype=np.float32,
+                 mode: str = "w+"):
+        self.path = str(path)
+        self.shape = tuple(shape)
+        self.dtype = np.dtype(dtype)
+        self._arr = np.memmap(self.path, dtype=self.dtype, mode=mode,
+                              shape=self.shape)
+
+    @classmethod
+    def load(cls, path: str, shape: Tuple[int, ...], dtype=np.float32):
+        return cls(path, shape, dtype, mode="r+")
+
+    def __getitem__(self, idx):
+        return self._arr[idx]
+
+    def __setitem__(self, idx, value):
+        self._arr[idx] = value
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self._arr)
+        return a.astype(dtype) if dtype is not None else a
+
+    def flush(self):
+        self._arr.flush()
+
+    @property
+    def nbytes(self):
+        return self._arr.nbytes
+
+
+def get_local_matrix(m, out=None, mmap_path: str = None):
+    """Materialize a tiled matrix into local memory block by block
+    (reference matrix_utils.get_local_matrix): `out` may be any
+    array-assignable buffer (e.g. an MmapArray for larger-than-RAM
+    matrices, created automatically when `mmap_path` is given)."""
+    if out is None:
+        out = (MmapArray(mmap_path, m.shape, m.dtype) if mmap_path
+               else np.zeros(m.shape, dtype=m.dtype))
+    tm, tn = m.tile
+    for (i, j) in m.block_idxs:
+        blk = np.asarray(m.get_block(i, j))
+        out[i * tm : i * tm + blk.shape[0], j * tn : j * tn + blk.shape[1]] = blk
+    if hasattr(out, "flush"):
+        out.flush()
+    return out

@@ -141,3 +141,30 @@ def test_assert_finite_passes(rng):
 
     m = shard_matrix(rng.standard_normal((64, 64)).astype(np.float32), tile=(32, 32))
     assert m.assert_finite() is m
+
+
+def test_mmap_array_roundtrip(tmp_path, rng):
+    """MmapArray (reference matrix_utils.MmapArray): fill, flush, reopen."""
+    from numpywren_tpu.utils import MmapArray
+
+    path = str(tmp_path / "m.bin")
+    a = MmapArray(path, (32, 16), np.float32)
+    data = rng.standard_normal((32, 16)).astype(np.float32)
+    a[...] = data
+    a.flush()
+    b = MmapArray.load(path, (32, 16), np.float32)
+    np.testing.assert_array_equal(np.asarray(b), data)
+    assert b.nbytes == data.nbytes
+
+
+def test_get_local_matrix(tmp_path, rng):
+    """get_local_matrix (reference matrix_utils.get_local_matrix):
+    blockwise materialization into RAM or an mmap-backed buffer."""
+    from numpywren_tpu.matrix_init import shard_matrix
+    from numpywren_tpu.utils import get_local_matrix
+
+    x = rng.standard_normal((96, 64)).astype(np.float32)
+    m = shard_matrix(x, tile=(32, 32), storage="host")
+    np.testing.assert_array_equal(get_local_matrix(m), x)
+    out = get_local_matrix(m, mmap_path=str(tmp_path / "local.bin"))
+    np.testing.assert_array_equal(np.asarray(out), x)
