@@ -476,7 +476,7 @@ def main():
                       else 65536) if on_tpu else 512, 128),
         "gemm": (8192 if on_tpu else 1024, 512),
         "tsqr": (1 << 20 if on_tpu else 1 << 14, 4096 if on_tpu else 1024),
-        "bdfac": (8192 if on_tpu else 256, 512 if on_tpu else 64),  # 512 measured best (59% of peak, r2 sweep)
+        "bdfac": (8192 if on_tpu else 256, 512 if on_tpu else 64),  # 512 measured best (26 TF abs, r2; 1024 is 12% slower)
     }
     n = args.n or defaults[args.alg][0]
     tile = args.tile or defaults[args.alg][1]

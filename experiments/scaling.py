@@ -21,7 +21,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--alg", default="cholesky", choices=["cholesky", "gemm", "tsqr"])
+    p.add_argument("--alg", default="cholesky", choices=["cholesky", "gemm", "tsqr", "bdfac"])
     p.add_argument("--sizes", type=int, nargs="+", default=None)
     p.add_argument("--extra", nargs="*", default=[])
     args = p.parse_args()
@@ -30,6 +30,7 @@ def main():
         "cholesky": [4096, 8192, 16384, 32768],
         "gemm": [2048, 4096, 8192, 16384],
         "tsqr": [1 << 18, 1 << 20, 1 << 22],
+        "bdfac": [2048, 4096, 8192],
     }[args.alg]
 
     results = []

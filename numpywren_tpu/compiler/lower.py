@@ -366,20 +366,39 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 5):
     CholeskyQR2 cost: the conditional passes are skipped at runtime (TPU
     executes one lax.cond branch), leaving only an identity-l in the
     factor composition."""
-    def one(x):
-        l, ok = _safe_gram_chol(x, precision, rows=rows)
-        if rows:
-            q = lax.linalg.triangular_solve(l, x, left_side=True, lower=True)
-        else:
-            q = lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
-                                            transpose_a=True)
-        return q, l, ok
-
     b = p.shape[0] if rows else p.shape[1]
     eye = jnp.eye(b, dtype=p.dtype)
+
+    def solve(l, x):
+        if rows:
+            return lax.linalg.triangular_solve(l, x, left_side=True, lower=True)
+        return lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
+                                           transpose_a=True)
+
+    def one(x):
+        l, ok = _safe_gram_chol(x, precision, rows=rows)
+        return solve(l, x), l, ok
+
+    def cleanup(x):
+        """Pass over an ALREADY near-orthonormal iterate: its Gram is
+        I + E with ||E|| <= kappa^2 u <= 4 u sqrt(m b) (the plain-pass
+        pivot test guarantees this), so chol(I + E) = I + tril(E, -1)
+        + diag(E)/2 to O(||E||^2) <= u — a VPU-only factorization that
+        skips the cholesky custom-call entirely. Profiling showed those
+        custom-calls were 31% of fused-bdfac runtime (~0.3 ms each, cost
+        near-flat in size, ~60 calls per factorization)."""
+        if rows:
+            g = jnp.matmul(x, x.T, precision=precision)
+        else:
+            g = jnp.matmul(x.T, x, precision=precision)
+        e = g - eye
+        l = eye + jnp.tril(e, -1) + jnp.diag(0.5 * jnp.diagonal(e))
+        ok = jnp.max(jnp.abs(e)) < 1e-2  # first-order regime check
+        return solve(l, x), l, ok
+
     q, l, ok = one(p)
     ls = [l]
-    q, l, ok = one(q)
+    q, l, ok = lax.cond(ok, cleanup, one, q)
     ls.append(l)
     for _ in range(max_passes - 2):
         q, l, ok = lax.cond(ok,
@@ -473,9 +492,13 @@ def _panel_qr_update_cholqr(panel, trailing, precision):
     w = w.at[:b].add(-jnp.eye(b, dtype=q.dtype))
     s_inv = jnp.eye(b, dtype=q.dtype) - sigma[:, None] * q1.T
     if trailing is not None and trailing.shape[1]:
+        # fold S into W once (b x b inverse + one skinny GEMM — S is
+        # well-conditioned by the Sigma choice): applying S by LU-solve
+        # against the full-width w1 ran at triangular-solve speed, not
+        # GEMM speed, on every panel
+        ws = jnp.matmul(w, jnp.linalg.inv(s_inv).T, precision=precision)
         w1 = jnp.matmul(w.T, trailing, precision=precision)      # (b, c)
-        w2 = jnp.linalg.solve(s_inv.T, w1)                       # S^T w1
-        trailing = trailing - jnp.matmul(w, w2, precision=precision)
+        trailing = trailing - jnp.matmul(ws, w1, precision=precision)
     # H^T panel = E Sigma R: the factor's row block is Sigma R (still upper)
     return sigma[:, None] * r, trailing
 
@@ -511,9 +534,11 @@ def _panel_lq_update_cholqr(panel, body, precision):
     wr = wr.at[:, :b].add(-jnp.eye(b, dtype=qr_.dtype))
     s_inv = jnp.eye(b, dtype=qr_.dtype) - sigma[:, None] * q1
     if body is not None and body.shape[0]:
+        # fold S into W^T once (see _panel_qr_update_cholqr: LU-solving
+        # against the full-width RHS ran at solve speed per panel)
+        s_wr = jnp.matmul(jnp.linalg.inv(s_inv), wr, precision=precision)
         u1 = jnp.matmul(body, wr.T, precision=precision)   # (rows, b) = B W
-        u2 = jnp.linalg.solve(s_inv.T, u1.T).T             # u1 @ S
-        body = body - jnp.matmul(u2, wr, precision=precision)
+        body = body - jnp.matmul(u1, s_wr, precision=precision)
     return l * sigma[None, :], body
 
 
@@ -546,64 +571,65 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
                     else _panel_qr_update)
 
     def bdfac(a):
+        # the live trailing matrix shrinks by one block per step and is
+        # carried as a VALUE (static per-step shapes from the unroll):
+        # round-tripping updates through the full (n, n) array cost one
+        # whole-array read+write per step (profiled ~10 ms of pure HBM
+        # traffic at 8192/512 — the f32[8192,8192] write-back fusions)
         out = jnp.zeros_like(a)
+        cur = a
         for k in range(g):
             c0, c1 = k * tile, (k + 1) * tile
             rows = n_pad - c0
-            panel = lax.dynamic_slice(a, (c0, c0), (rows, tile))
-            cols_right = n_pad - c1
-            trailing = (
-                lax.dynamic_slice(a, (c0, c1), (rows, cols_right))
-                if cols_right else None
-            )
+            panel = cur[:, :tile]
+            trailing = cur[:, tile:] if rows > tile else None
             r, trailing = panel_update(panel, trailing, precision)
             out = _dus(out, r.astype(out.dtype), c0, c0)
-            if cols_right == 0:
-                continue
+            if rows == tile:
+                break
             if g - k - 1 >= 2:
-                row_pan = lax.dynamic_slice(trailing, (0, 0), (tile, cols_right))
-                body = lax.dynamic_slice(trailing, (tile, 0),
-                                         (rows - tile, cols_right))
+                row_pan, body = trailing[:tile], trailing[tile:]
                 if panel_method == "cholqr":
                     # row-form LQ: no body.T / body_t.T materialization
-                    # (two full HBM passes per sweep step saved)
                     l_blk, body2 = _panel_lq_update_cholqr(
-                        row_pan, body if rows - tile else None, precision
+                        row_pan, body, precision
                     )
-                    out = _dus(out, l_blk.astype(out.dtype), c0, c1)
-                    a = _dus(a, body2.astype(a.dtype), c1, c1)
                 else:
                     # Householder path: LQ on the row panel = QR of its
                     # transpose
-                    l_t, body_t = panel_update(
-                        row_pan.T, body.T if rows - tile else None, precision
-                    )
-                    out = _dus(out, l_t.T.astype(out.dtype), c0, c1)
-                    a = _dus(a, body_t.T.astype(a.dtype), c1, c1)
+                    l_t, body_t = panel_update(row_pan.T, body.T, precision)
+                    l_blk, body2 = l_t.T, body_t.T
+                out = _dus(out, l_blk.astype(out.dtype), c0, c1)
+                cur = body2
             else:
                 # single superdiagonal block: lands in out as-is
                 out = _dus(out, trailing[:tile].astype(out.dtype), c0, c1)
-                a = _dus(a, trailing[tile:].astype(a.dtype), c1, c1)
+                cur = trailing[tile:]
         return out
 
     return bdfac
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_bdfac(n_pad, tile, precision, dtype, panel_method):
+def _jitted_bdfac(n_pad, tile, precision, dtype, panel_method, donate):
     return jax.jit(fused_bdfac_fn(n_pad, tile, precision=precision,
-                                  dtype=dtype, panel_method=panel_method))
+                                  dtype=dtype, panel_method=panel_method),
+                   donate_argnums=(0,) if donate else ())
 
 
 def fused_bdfac(a: jax.Array, tile: int, *, precision=None,
-                panel_method: str = None) -> jax.Array:
+                panel_method: str = None, donate: bool = False) -> jax.Array:
+    """donate=True lets XLA run the in-place sweeps without the defensive
+    input copy (profiled at ~2.4 ms on 8192^2) — pass it when the caller
+    owns `a` and will not reuse it."""
     if precision is None:
         precision = default_precision(a.dtype)
     if panel_method is None:
         import os
 
         panel_method = os.environ.get("NPW_BDFAC_PANEL", "cholqr")
-    return _jitted_bdfac(a.shape[0], tile, precision, a.dtype, panel_method)(a)
+    return _jitted_bdfac(a.shape[0], tile, precision, a.dtype, panel_method,
+                         donate)(a)
 
 
 # ---------------------------------------------------------------------------

@@ -21,14 +21,16 @@ reference, which stops at the precursors):
 - svd.randomized_svd:   rank-k truncated SVD (HMT sketch + power iteration)
 - lstsq.least_squares:  tall least squares (CholeskyQR or normal equations)
 - lstsq.ridge_regression: Tikhonov-regularized solve
+- pca.pca:              principal components (the paper's headline workload)
 """
 
 from numpywren_tpu.alg_wrappers import bdfac, cholesky, gemm, tsqr, tsqr_r_factor
 from numpywren_tpu.models.lstsq import least_squares, ridge_regression
+from numpywren_tpu.models.pca import pca
 from numpywren_tpu.models.svd import randomized_svd, singular_values, svd_tall
 
 __all__ = [
     "cholesky", "gemm", "tsqr", "bdfac", "tsqr_r_factor",
     "singular_values", "svd_tall", "randomized_svd",
-    "least_squares", "ridge_regression",
+    "least_squares", "ridge_regression", "pca",
 ]

@@ -100,8 +100,9 @@ def singular_values(x, tile: int = 512, finish: str = "band",
         x = xp
         if panel_method is None:
             panel_method = "house"
+    # donate: the device buffer is ours (x went through np.asarray above)
     bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
-                                panel_method=panel_method))
+                                panel_method=panel_method, donate=True))
     if finish == "dense":
         s = np.linalg.svd(bd.astype(np.float64), compute_uv=False)
     else:

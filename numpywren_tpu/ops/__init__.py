@@ -11,6 +11,7 @@ backend-agnostic.
 
 from numpywren_tpu.ops.gemm import matmul, gemm, gemm_nt, gemm_tn, gemm_acc, syrk_update
 from numpywren_tpu.ops.factor import potrf, trsm, qr_leaf, qr_combine, qr_r, lq_leaf, small_qr_apply
+from numpywren_tpu.ops.pallas_factor import potrf_pallas, trsm_pallas, trtri_pallas
 from numpywren_tpu.ops.dispatch import JAX_KERNELS, jax_kernel
 
 __all__ = [
@@ -21,7 +22,10 @@ __all__ = [
     "gemm_acc",
     "syrk_update",
     "potrf",
+    "potrf_pallas",
     "trsm",
+    "trsm_pallas",
+    "trtri_pallas",
     "qr_leaf",
     "qr_combine",
     "qr_r",

@@ -177,6 +177,12 @@ class TiledTrapezoidMatrix(_TiledBase):
         self.symmetric = symmetric
         self.parent_fn = None
         self._written = np.zeros(self.grid, dtype=bool)
+        # put_block is a read-modify-write of a whole column buffer;
+        # concurrent writers (the threaded LocalExecutor, reference
+        # job_runner parity) would lose each other's tiles without this
+        import threading
+
+        self._lock = threading.Lock()
 
     # -------------------------------------------------------- addressing
     def _locate(self, i: int, j: int):
@@ -218,10 +224,11 @@ class TiledTrapezoidMatrix(_TiledBase):
                 )
             blk = jnp.zeros((t, t), self.dtype).at[:m, :n].set(blk)
         c, r0, c0 = self._locate(i, j)
-        self.trap.cols[c] = jax.lax.dynamic_update_slice(
-            self.trap.cols[c], blk, (r0, c0)
-        )
-        self._written[i, j] = True
+        with self._lock:
+            self.trap.cols[c] = jax.lax.dynamic_update_slice(
+                self.trap.cols[c], blk, (r0, c0)
+            )
+            self._written[i, j] = True
         return (i, j)
 
     def delete_block(self, i: int, j: int):

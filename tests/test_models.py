@@ -154,3 +154,51 @@ def test_least_squares_shape_errors(rng):
         models.least_squares(rng.standard_normal((10, 20)), np.zeros(10))
     with pytest.raises(ValueError):
         models.least_squares(rng.standard_normal((20, 10)), np.zeros(21))
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("method", ["tall", "randomized"])
+def test_pca_matches_sklearn_definition(rng, method):
+    """components/explained_variance/scores vs the direct SVD of the
+    centered data (the sklearn convention)."""
+    x = rng.standard_normal((300, 40)).astype(np.float32)
+    k = 5
+    comps, ev, scores = models.pca(x, n_components=k, method=method)
+    assert comps.shape == (k, 40) and ev.shape == (k,) and scores.shape == (300, k)
+    xc = x - x.mean(axis=0)
+    u, s, vt = np.linalg.svd(xc.astype(np.float64), full_matrices=False)
+    # the tall path is an exact thin SVD; the randomized path is the HMT
+    # approximation, whose worst case is exactly this (flat-spectrum) input
+    rtol = 2e-2 if method == "tall" else 1e-1
+    np.testing.assert_allclose(ev, s[:k] ** 2 / (300 - 1), rtol=rtol)
+    if method == "tall":
+        # axes match up to sign (only identifiable when sigma are exact)
+        dots = np.abs(np.sum(comps * vt[:k].astype(np.float32), axis=1))
+        np.testing.assert_allclose(dots, 1.0, atol=2e-2)
+        np.testing.assert_allclose(scores, xc @ comps.T,
+                                   atol=0.05 * np.abs(xc).max())
+    else:
+        # approximate factors are still orthonormal, and the variance the
+        # scores carry matches the claimed explained_variance
+        np.testing.assert_allclose(comps @ comps.T, np.eye(k), atol=1e-3)
+        np.testing.assert_allclose(scores.var(axis=0, ddof=1), ev, rtol=1e-2)
+
+
+def test_pca_low_rank_structure(rng):
+    """Data with 3 dominant directions: PCA finds them and the variance
+    ratio collapses after rank 3."""
+    basis, _ = np.linalg.qr(rng.standard_normal((30, 3)))
+    latent = rng.standard_normal((500, 3)) * np.array([10.0, 5.0, 2.0])
+    x = (latent @ basis.T + 0.01 * rng.standard_normal((500, 30))).astype(np.float32)
+    comps, ev, _ = models.pca(x, n_components=5)
+    assert ev[2] > 100 * ev[3]
+
+
+def test_pca_errors(rng):
+    with pytest.raises(ValueError):
+        models.pca(rng.standard_normal((10, 5)), n_components=6)
+    with pytest.raises(ValueError):
+        models.pca(rng.standard_normal(10), n_components=1)

@@ -1,0 +1,49 @@
+"""Pallas factorization tile kernels (ops/pallas_factor.py) vs the numpy
+reference kernels (kernels.potrf / kernels.trsm semantics — SURVEY §2 "every
+tile kernel gets a real Pallas implementation"). Interpret mode on the CPU
+fake cluster; the on-chip path is exercised by the TPU drive scripts."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from numpywren_tpu import kernels
+from numpywren_tpu.matrix_init import random_spd
+from numpywren_tpu.ops.pallas_factor import potrf_pallas, trsm_pallas, trtri_pallas
+
+
+@pytest.mark.parametrize("n", [128, 384, 1024])
+def test_potrf_pallas_matches_lapack(n, rng):
+    a = random_spd(n, seed=3).astype(np.float32)
+    l = np.asarray(potrf_pallas(jnp.asarray(a), interpret=True))
+    ref = kernels.potrf(a)
+    np.testing.assert_allclose(l, ref, rtol=1e-4, atol=1e-4 * np.abs(ref).max())
+    assert np.abs(np.triu(l, 1)).max() == 0.0
+
+
+@pytest.mark.parametrize("n", [128, 256])
+def test_trtri_pallas(n, rng):
+    a = random_spd(n, seed=4).astype(np.float32)
+    l = np.linalg.cholesky(a.astype(np.float64)).astype(np.float32)
+    w = np.asarray(trtri_pallas(jnp.asarray(l), interpret=True))
+    np.testing.assert_allclose(l @ w, np.eye(n), atol=5e-5)
+    assert np.abs(np.triu(w, 1)).max() == 0.0
+
+
+def test_trsm_pallas_matches_reference(rng):
+    n = 256
+    a = random_spd(n, seed=5).astype(np.float32)
+    l = np.linalg.cholesky(a.astype(np.float64)).astype(np.float32)
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    s = np.asarray(trsm_pallas(jnp.asarray(x), jnp.asarray(l)))
+    ref = kernels.trsm(x, l)
+    np.testing.assert_allclose(s, ref, rtol=1e-3, atol=1e-3 * np.abs(ref).max())
+
+
+def test_potrf_pallas_fallback_unsupported(rng):
+    """Outside the VMEM envelope (non-multiple-of-128) the wrapper must
+    fall back to XLA's cholesky, not fail."""
+    a = random_spd(96, seed=6).astype(np.float32)
+    l = np.asarray(potrf_pallas(jnp.asarray(a)))
+    np.testing.assert_allclose(l, kernels.potrf(a), rtol=1e-4, atol=1e-4)
