@@ -14,8 +14,6 @@ Cholesky programs. Two TPU-native paths:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import numpy as np
 
 __all__ = ["least_squares", "ridge_regression"]

@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _B = 128  # unblocked-factor width: one MXU/VPU native tile
 
@@ -83,11 +82,10 @@ def _potrf_kernel(a_ref, l_ref, *, n):
 
 
 def _trtri_kernel(l_ref, w_ref, *, n):
-    """w = l^{-1} for lower-triangular l: per-diagonal-block inverses via the
-    same inverse-accumulating loop (run on l l^T's factor = l itself — we
-    reuse _factor_block_with_inverse on d = l l^T restricted? No: direct
-    forward substitution), then the strictly-lower blocks by the blocked
-    identity W[i, j] = -W[i, i] (sum_k L[i, k] W[k, j])."""
+    """w = l^{-1} for lower-triangular l: per-diagonal-block inverses by
+    direct row-wise forward substitution (the same masked-select loop shape
+    as _factor_block_with_inverse), then the strictly-lower blocks by the
+    blocked identity W[i, j] = -W[i, i] (sum_k L[i, k] W[k, j])."""
     hp = lax.Precision.HIGHEST
     nb = n // _B
     w_ref[:] = jnp.zeros((n, n), l_ref.dtype)  # out refs start uninitialized

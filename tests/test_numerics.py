@@ -2,6 +2,7 @@
 (the reference's accuracy story is LAPACK fp64; ours is documented
 fp32-parity with measured failure modes)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -67,3 +68,48 @@ def test_bdfac_ill_conditioned_singular_values():
     npw.run_program(prog)
     sv_out = np.linalg.svd(b_mat.numpy().astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(sv_out, sv, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# adaptive CholeskyQR chain (round 2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kappa", [1.0, 1e3, 1e5])
+def test_cholqr_adaptive_column_form(rng, kappa):
+    """QR via the adaptive chain: A = Q R exactly by construction, Q
+    orthonormal across three decades of conditioning (the chain adds
+    shifted passes only as needed)."""
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import _cholqr_adaptive
+
+    m, b = 2048, 32
+    u, _ = np.linalg.qr(rng.standard_normal((m, b)))
+    v, _ = np.linalg.qr(rng.standard_normal((b, b)))
+    s = np.logspace(0, -np.log10(kappa), b)
+    a = ((u * s) @ v.T).astype(np.float32)
+    q, r = _cholqr_adaptive(jnp.asarray(a), jax.lax.Precision.HIGHEST)
+    q, r = np.asarray(q), np.asarray(r)
+    np.testing.assert_allclose(q.T @ q, np.eye(b), atol=5e-4)
+    np.testing.assert_allclose(q @ r, a, atol=5e-5)
+    assert np.abs(np.tril(r, -1)).max() < 1e-5  # upper triangular
+
+
+def test_cholqr_adaptive_row_form_mirrors_column_form(rng):
+    """LQ of p must equal (QR of p^T) transposed — the row form exists to
+    avoid transposes, not to change semantics."""
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import _cholqr_adaptive
+
+    p = rng.standard_normal((48, 512)).astype(np.float32)
+    qr_, l = _cholqr_adaptive(jnp.asarray(p), jax.lax.Precision.HIGHEST,
+                              rows=True)
+    qc, rc = _cholqr_adaptive(jnp.asarray(p.T), jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(rc).T,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qr_), np.asarray(qc).T,
+                               rtol=1e-4, atol=1e-5)
+    # reconstruction: p = l @ qr
+    np.testing.assert_allclose(np.asarray(l) @ np.asarray(qr_), p,
+                               atol=1e-4)
