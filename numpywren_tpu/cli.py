@@ -78,9 +78,23 @@ def cmd_doctor(args) -> int:
         resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
         assert resid < 1e-4, resid
 
+    def model():
+        from numpywren_tpu import models
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((96, 96)).astype(np.float32)
+        s = models.singular_values(x, tile=32)
+        s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+        assert abs(s[0] - s_ref[0]) / s_ref[0] < 1e-3, (s[0], s_ref[0])
+        a = rng.standard_normal((128, 8)).astype(np.float32)
+        beta = rng.standard_normal(8).astype(np.float32)
+        sol = models.least_squares(a, a @ beta)
+        assert np.linalg.norm(sol - beta) / np.linalg.norm(beta) < 1e-3
+
     check("tiled store round-trip", store)
     check("device matmul kernel", kernel)
     check("fused cholesky program", program)
+    check("models (svd + least squares)", model)
     return 1 if failures else 0
 
 
