@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -243,11 +244,13 @@ def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth, panel=None):
     if big:
         # both a_cols and l_cols do not fit together, and the ragged
         # trapezoid shapes make a one-jit full pass compile-prohibitive:
-        # sample 8 column blocks spread over first/middle/last panels
-        # (~12%+ of all entries at nb=64), regenerating each input block
-        # on the fly
-        sample = sorted({0, 1, 2, nb // 2 - 1, nb // 2, max(0, nb - 3),
-                         max(0, nb - 2), nb - 1})
+        # sample column blocks spread over first/middle/last panels
+        # (every sampled c costs TWO remote compiles — regeneration +
+        # reconstruction — so the default samples 4 blocks, ~6% of all
+        # entries at nb=64; NPW_BENCH_RESID_SAMPLES raises it)
+        n_samp = int(os.environ.get("NPW_BENCH_RESID_SAMPLES", "4"))
+        picks = [round(k * (nb - 1) / max(1, n_samp - 1)) for k in range(n_samp)]
+        sample = sorted({min(nb - 1, max(0, p)) for p in picks})
         key0 = jax.random.PRNGKey(0)
         # per-column regeneration only for the sampled columns (a handful
         # of extra compiles, vs nb of them if used for construction)
@@ -386,7 +389,11 @@ def bench_tsqr(n, tile, dtype, precision, syrk_depth, method="cholqr2"):
     import jax
     import jax.numpy as jnp
 
-    from numpywren_tpu.compiler.lower import fused_cholqr2_fn, fused_tsqr_fn
+    from numpywren_tpu.compiler.lower import (
+        fused_cholqr2_fn,
+        fused_cholqr3s_fn,
+        fused_tsqr_fn,
+    )
 
     b = 512
     rows = n  # n = total rows
@@ -396,6 +403,8 @@ def bench_tsqr(n, tile, dtype, precision, syrk_depth, method="cholqr2"):
     a = (jax.random.normal(jax.random.PRNGKey(1), (rows, b)) * 0.1).astype(dtype)
     if method == "cholqr2":
         body = fused_cholqr2_fn(precision=precision, dtype=dtype)
+    elif method == "cholqr3s":
+        body = fused_cholqr3s_fn(precision=precision, dtype=dtype)
     else:
         body = fused_tsqr_fn(n_leaves, tile, b, precision=precision, dtype=dtype)
 
@@ -412,7 +421,10 @@ def bench_tsqr(n, tile, dtype, precision, syrk_depth, method="cholqr2"):
         fetch_scalar(r[0, 0])
 
     per = slope_time(chain, 2, 6)
-    flops = (4 if method == "cholqr2" else 2) * rows * b * b
+    # per-pass useful work is 2*m*b^2 (Gram + solve): cholqr2 = 2 passes,
+    # cholqr3s = 2-3 adaptive passes (count the guaranteed 2 + the pass-1
+    # shift check), tree = the leaf QRs
+    flops = {"cholqr2": 4, "cholqr3s": 6}.get(method, 2) * rows * b * b
     # correctness: ||R^T R - A^T A|| / ||A^T A|| (Gram parity, HIGHEST)
     r = step(a, jnp.zeros((), dtype))
 

@@ -400,11 +400,28 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 5):
     ls = [l]
     q, l, ok = lax.cond(ok, cleanup, one, q)
     ls.append(l)
-    for _ in range(max_passes - 2):
-        q, l, ok = lax.cond(ok,
-                            lambda q: (q, eye, jnp.bool_(True)),
-                            lambda q: one(q), q)
-        ls.append(l)
+
+    # conditional passes 3..max_passes, NESTED: a lax.cond costs ~10 ms
+    # in pure buffer traffic on a 1M x 512 operand even when its taken
+    # branch is the identity, so the common (converged) case must cross
+    # ONE skipped cond, not max_passes - 2 of them
+    def extra(q, ok, depth):
+        if depth == 0:
+            return (q,)
+
+        def skip(q):
+            return (q,) + tuple(eye for _ in range(depth))
+
+        def run(q):
+            q2, l2, ok2 = one(q)
+            rest = extra(q2, ok2, depth - 1)
+            return (rest[0], l2) + tuple(rest[1:])
+
+        return lax.cond(ok, skip, run, q)
+
+    out = extra(q, ok, max_passes - 2)
+    q = out[0]
+    ls.extend(out[1:])
     if rows:
         total = ls[0]
         for li in ls[1:]:
