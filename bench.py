@@ -451,15 +451,21 @@ def bench_bdfac(n, tile, dtype, precision, syrk_depth):
     a = (jax.random.normal(jax.random.PRNGKey(1), (n, n)) * 0.1).astype(dtype)
     body = fused_bdfac_fn(n, tile, precision=precision, dtype=dtype)
 
-    @jax.jit
-    def step(x, t):
-        return body(x + t)
+    import functools
+
+    freshen = jax.jit(lambda a, t: a + t)  # fresh buffer per run
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(x):
+        # x is a fresh per-run buffer — donating it lets the in-place
+        # sweeps skip the defensive whole-array copy (profiled ~2.4 ms)
+        return body(x)
 
     def chain(k):
         t = jnp.zeros((), dtype)
         bd = None
         for _ in range(k):
-            bd = step(a, t)
+            bd = step(freshen(a, t))
             t = (bd[0, 0] * 1e-30).astype(dtype)
             del bd
         fetch_scalar(t)
