@@ -17,6 +17,10 @@ On top of the factorizations, finished end-user models (beyond the
 reference, which stops at the precursors):
 
 - svd.singular_values:  two-stage sigma(A) — MXU BDFAC + banded GK finish
+                        (accepts TiledMatrix inputs: runs the bdfac program
+                        through the executor stack and reads only the
+                        diag/superdiag blocks — sigma of matrices that
+                        never materialize as one dense square)
 - svd.svd_tall:         thin SVD of tall-skinny matrices (GEMM-only QR)
 - svd.randomized_svd:   rank-k truncated SVD (HMT sketch + power iteration)
 - lstsq.least_squares:  tall least squares (CholeskyQR or normal equations)

@@ -64,6 +64,47 @@ def _gk_band_sigma(bd: np.ndarray, max_band: int) -> np.ndarray:
     return np.maximum(np.sort(w)[::-1][:n], 0.0)
 
 
+def _gk_band_from_blocks(b_mat) -> np.ndarray:
+    """Singular values of a block-bidiagonal TiledMatrix WITHOUT densifying:
+    only the diagonal and superdiagonal blocks are read (O(n * tile)
+    memory), written straight into the shuffled Golub-Kahan band form and
+    eigensolved on host. This is how sigma comes out of a matrix that
+    never fits in memory as a square."""
+    from scipy.linalg import eig_banded
+
+    n = b_mat.shape[0]
+    t = b_mat.tile[0]
+    gm, gn = b_mat.grid
+    # occupied diagonals of B reach 2t-1: the LAST superdiagonal block is a
+    # full t x t tile (the sweep stops LQ-ing when fewer than two
+    # superdiagonal blocks remain), so the GK offset 2d+1 reaches 4t-1
+    u = 4 * t - 1
+    band = np.zeros((u + 1, 2 * n), dtype=np.float64)
+
+    def put(vals, i0, j0):
+        """Scatter one local diagonal (B[i0+s, j0+s] = vals[s]) into the
+        shuffled GK band (entry (2i, 2j+1) of [[0,B],[B^T,0]])."""
+        if vals.size == 0 or not np.any(vals):
+            return
+        i = np.arange(vals.shape[0]) + i0
+        j = np.arange(vals.shape[0]) + j0
+        p, q = 2 * i, 2 * j + 1
+        lo, hi = np.minimum(p, q), np.maximum(p, q)
+        band[u - (hi - lo), hi] += vals
+
+    for k in range(gm):
+        diag = np.asarray(b_mat.get_block(k, k), dtype=np.float64)
+        for dl in range(t):
+            put(np.diagonal(diag, dl), k * t, k * t + dl)
+        if k + 1 < gn:
+            sup = np.asarray(b_mat.get_block(k, k + 1), dtype=np.float64)
+            for dl in range(-(t - 1), t):
+                put(np.diagonal(sup, dl),
+                    k * t + max(0, -dl), (k + 1) * t + max(0, dl))
+    w = eig_banded(band, lower=False, eigvals_only=True)
+    return np.maximum(np.sort(w)[::-1][:n], 0.0)
+
+
 def singular_values(x, tile: int = 512, finish: str = "band",
                     panel_method: str = None) -> np.ndarray:
     """All singular values of a square matrix, descending.
@@ -88,6 +129,18 @@ def singular_values(x, tile: int = 512, finish: str = "band",
 
     if finish not in ("band", "dense"):
         raise ValueError(f"unknown finish {finish!r}")
+    if hasattr(x, "get_block"):
+        # tiled input (any storage tier, including larger-than-HBM host
+        # tiers): run the BDFAC program through the executor stack, then
+        # read ONLY the diagonal/superdiagonal blocks into the band form —
+        # sigma of a matrix that is never materialized square
+        import numpywren_tpu as npw
+
+        prog, b_mat, _ = npw.bdfac(x)
+        status = npw.run_program(prog)
+        if status.name != "SUCCESS":
+            raise RuntimeError(f"bdfac program ended in state {status.name}")
+        return _gk_band_from_blocks(b_mat)[: x.shape[0]]
     x = np.asarray(x)
     if x.ndim != 2 or x.shape[0] != x.shape[1]:
         raise ValueError(f"singular_values expects a square matrix, got {x.shape}")

@@ -202,3 +202,26 @@ def test_pca_errors(rng):
         models.pca(rng.standard_normal((10, 5)), n_components=6)
     with pytest.raises(ValueError):
         models.pca(rng.standard_normal(10), n_components=1)
+
+
+def test_singular_values_tiled_input(rng):
+    """Tiled (storage-tier) input: BDFAC runs through the program/executor
+    stack and sigma is read from ONLY the diagonal/superdiagonal blocks —
+    the path for matrices that never exist as one dense square."""
+    from numpywren_tpu.matrix_init import shard_matrix
+
+    x = rng.standard_normal((96, 96)).astype(np.float32)
+    xt = shard_matrix(x, tile=(32, 32), storage="host")
+    s = models.singular_values(xt)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_singular_values_tiled_hbm(rng):
+    from numpywren_tpu.matrix_init import shard_matrix
+
+    x = rng.standard_normal((64, 64)).astype(np.float32)
+    xt = shard_matrix(x, tile=(16, 16), storage="hbm")
+    s = models.singular_values(xt)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
