@@ -107,7 +107,8 @@ def _gk_band_from_blocks(b_mat) -> np.ndarray:
 
 def singular_values(x, tile: int = 512, finish: str = "band",
                     panel_method: str = None) -> np.ndarray:
-    """All singular values of a square matrix, descending.
+    """All singular values, descending (rectangular inputs are first
+    QR-reduced to the square sigma-preserving R factor).
 
     Stage 1 reduces x to block upper bidiagonal B on the MXU
     (`compiler.lower.fused_bdfac` — the fused lowering of algs.bdfac,
@@ -142,8 +143,20 @@ def singular_values(x, tile: int = 512, finish: str = "band",
             raise RuntimeError(f"bdfac program ended in state {status.name}")
         return _gk_band_from_blocks(b_mat)[: x.shape[0]]
     x = np.asarray(x)
-    if x.ndim != 2 or x.shape[0] != x.shape[1]:
-        raise ValueError(f"singular_values expects a square matrix, got {x.shape}")
+    if x.ndim != 2:
+        raise ValueError(f"singular_values expects a matrix, got {x.shape}")
+    if x.shape[0] != x.shape[1]:
+        # rectangular: one CholeskyQR pass reduces to the square R factor
+        # (sigma(A) = sigma(R)), then the two-stage square path below
+        import jax.numpy as jnp
+
+        from numpywren_tpu.compiler.lower import fused_tsqr
+
+        a = x if x.shape[0] > x.shape[1] else x.T
+        r = np.asarray(fused_tsqr(jnp.asarray(a), tile_rows=a.shape[0],
+                                  method="cholqr3s"))
+        return singular_values(r, tile=tile, finish=finish,
+                               panel_method=panel_method)
     n = x.shape[0]
     tile = min(tile, n)
     n_pad = -(-n // tile) * tile

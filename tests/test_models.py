@@ -47,9 +47,20 @@ def test_singular_values_small_sigma_accuracy(rng):
     np.testing.assert_allclose(s, s_true, rtol=5e-3, atol=1e-6)
 
 
-def test_singular_values_rejects_nonsquare(rng):
+def test_singular_values_rectangular(rng):
+    """Non-square input: one CholeskyQR pass reduces to the square R
+    (sigma-preserving), then the two-stage path."""
+    for shape in ((128, 48), (48, 128)):
+        x = rng.standard_normal(shape).astype(np.float32)
+        s = models.singular_values(x, tile=16)
+        s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+        assert s.shape == (min(shape),)
+        np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_singular_values_rejects_non_matrix(rng):
     with pytest.raises(ValueError):
-        models.singular_values(rng.standard_normal((32, 16)))
+        models.singular_values(rng.standard_normal(32))
 
 
 # ---------------------------------------------------------------------------
