@@ -421,10 +421,11 @@ def bench_tsqr(n, tile, dtype, precision, syrk_depth, method="cholqr2"):
         fetch_scalar(r[0, 0])
 
     per = slope_time(chain, 2, 6)
-    # per-pass useful work is 2*m*b^2 (Gram + solve): cholqr2 = 2 passes,
-    # cholqr3s = 2-3 adaptive passes (count the guaranteed 2 + the pass-1
-    # shift check), tree = the leaf QRs
-    flops = {"cholqr2": 4, "cholqr3s": 6}.get(method, 2) * rows * b * b
+    # per-pass useful work is 2*m*b^2 (Gram + solve): cholqr2 = 2 passes;
+    # cholqr3s' adaptive chain runs exactly 2 passes in this
+    # well-conditioned benchmark case (extra passes fire only on shift
+    # breakdown), so counting 3 would inflate its TFLOPs ~1.5x vs cholqr2
+    flops = {"cholqr2": 4, "cholqr3s": 4}.get(method, 2) * rows * b * b
     # correctness: ||R^T R - A^T A|| / ||A^T A|| (Gram parity, HIGHEST)
     r = step(a, jnp.zeros((), dtype))
 

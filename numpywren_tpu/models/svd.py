@@ -160,6 +160,7 @@ def singular_values(x, tile: int = 512, finish: str = "band",
     n = x.shape[0]
     tile = min(tile, n)
     n_pad = -(-n // tile) * tile
+    auto_panel = panel_method is None
     if n_pad != n:
         xp = np.zeros((n_pad, n_pad), dtype=x.dtype)
         xp[:n, :n] = x
@@ -169,6 +170,16 @@ def singular_values(x, tile: int = 512, finish: str = "band",
     # donate: the device buffer is ours (x went through np.asarray above)
     bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
                                 panel_method=panel_method, donate=True))
+    if auto_panel and panel_method != "house":
+        # The default CholeskyQR panels can exhaust their shifted passes on
+        # an exactly rank-deficient (unpadded) input and return finite
+        # garbage. The sweeps are orthogonal, so ||B||_F must equal ||A||_F;
+        # a violated invariant (or non-finite B) reruns with the rank-safe
+        # Householder panels (ADVICE r2 #4).
+        na, nb_ = float(np.linalg.norm(x)), float(np.linalg.norm(bd))
+        if not np.isfinite(nb_) or abs(nb_ - na) > 1e-3 * max(na, 1e-30):
+            bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
+                                        panel_method="house", donate=True))
     if finish == "dense":
         s = np.linalg.svd(bd.astype(np.float64), compute_uv=False)
     else:

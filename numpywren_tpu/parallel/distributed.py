@@ -66,11 +66,22 @@ def initialize(coordinator: Optional[str] = None,
         kwargs["local_device_ids"] = local_device_ids
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
+    except (ValueError, RuntimeError) as e:
         if not auto:
             raise  # explicit config that doesn't work should be loud
         # pod-looking env (e.g. TPU_WORKER_HOSTNAMES on a single-host
-        # tunnel) but JAX could not auto-detect a coordinator: single host
+        # tunnel) but JAX could not auto-detect a coordinator: single host.
+        # Warn loudly — on a REAL pod this degrades every helper to a
+        # single-process no-op (broadcast_from_host0 would leave non-zero
+        # hosts with their local placeholder data), which must be visible.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "jax.distributed.initialize auto-detect failed (%s: %s); "
+            "continuing single-process. On a multi-host pod this is wrong — "
+            "pass coordinator/num_processes/process_id explicitly.",
+            type(e).__name__, e,
+        )
         return False
     _initialized = True
     return jax.process_count() > 1

@@ -150,7 +150,10 @@ def get_local_matrix(m, out=None, mmap_path: str = None):
     tm, tn = m.tile
     for (i, j) in m.block_idxs:
         blk = np.asarray(m.get_block(i, j))
-        out[i * tm : i * tm + blk.shape[0], j * tn : j * tn + blk.shape[1]] = blk
+        # edge blocks come back full-tile (zero padded); crop to the logical
+        # shape before assigning into the logically-shaped out buffer
+        bm, bn = m.true_block_shape(i, j)
+        out[i * tm : i * tm + bm, j * tn : j * tn + bn] = blk[:bm, :bn]
     if hasattr(out, "flush"):
         out.flush()
     return out

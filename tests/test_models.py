@@ -63,6 +63,18 @@ def test_singular_values_rejects_non_matrix(rng):
         models.singular_values(rng.standard_normal(32))
 
 
+def test_singular_values_rank_deficient_square(rng):
+    """Exactly rank-deficient UNPADDED square input: the default CholeskyQR
+    panels can exhaust their shifted passes; the ||B||_F = ||A||_F
+    invariant check must detect it and rerun with Householder panels
+    (ADVICE r2 #4)."""
+    n, r = 64, 20
+    x = (rng.standard_normal((n, r)) @ rng.standard_normal((r, n))).astype(np.float32)
+    s = models.singular_values(x, tile=16)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
+
+
 # ---------------------------------------------------------------------------
 # svd_tall / randomized_svd
 # ---------------------------------------------------------------------------

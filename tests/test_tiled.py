@@ -168,3 +168,15 @@ def test_get_local_matrix(tmp_path, rng):
     np.testing.assert_array_equal(get_local_matrix(m), x)
     out = get_local_matrix(m, mmap_path=str(tmp_path / "local.bin"))
     np.testing.assert_array_equal(np.asarray(out), x)
+
+
+def test_get_local_matrix_ragged(rng):
+    """Non-tile-multiple shapes: get_block returns padded full tiles, so
+    get_local_matrix must crop edge blocks to the logical shape (ADVICE r2
+    #1 — previously raised a broadcast ValueError)."""
+    from numpywren_tpu.matrix_init import shard_matrix
+    from numpywren_tpu.utils import get_local_matrix
+
+    x = rng.standard_normal((70, 50)).astype(np.float32)
+    m = shard_matrix(x, tile=(32, 32), storage="host")
+    np.testing.assert_array_equal(get_local_matrix(m), x)
