@@ -21,6 +21,9 @@ reference, which stops at the precursors):
                         through the executor stack and reads only the
                         diag/superdiag blocks — sigma of matrices that
                         never materialize as one dense square)
+- svd.svd:              FULL SVD (U, s, Vt) — BDFAC with transform
+                        accumulation on the MXU + a host fp64 SVD of the
+                        block-bidiagonal core
 - svd.svd_tall:         thin SVD of tall-skinny matrices (GEMM-only QR)
 - svd.randomized_svd:   rank-k truncated SVD (HMT sketch + power iteration)
 - lstsq.least_squares:  tall least squares (CholeskyQR or normal equations)
@@ -31,10 +34,15 @@ reference, which stops at the precursors):
 from numpywren_tpu.alg_wrappers import bdfac, cholesky, gemm, tsqr, tsqr_r_factor
 from numpywren_tpu.models.lstsq import least_squares, ridge_regression
 from numpywren_tpu.models.pca import pca
-from numpywren_tpu.models.svd import randomized_svd, singular_values, svd_tall
+from numpywren_tpu.models.svd import (
+    randomized_svd,
+    singular_values,
+    svd,
+    svd_tall,
+)
 
 __all__ = [
     "cholesky", "gemm", "tsqr", "bdfac", "tsqr_r_factor",
-    "singular_values", "svd_tall", "randomized_svd",
+    "singular_values", "svd", "svd_tall", "randomized_svd",
     "least_squares", "ridge_regression", "pca",
 ]

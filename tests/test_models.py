@@ -76,6 +76,110 @@ def test_singular_values_rank_deficient_square(rng):
 
 
 # ---------------------------------------------------------------------------
+# banded finish (LAPACK dgbbrd/dbdsdc via ctypes)
+# ---------------------------------------------------------------------------
+
+def test_band_sigma_lapack(rng):
+    from numpywren_tpu.models.band import band_sigma_lapack, lapack_available
+
+    if not lapack_available():
+        pytest.skip("no LAPACK shared library on this host")
+    n, ku = 200, 17
+    a = np.triu(np.tril(rng.standard_normal((n, n)).astype(np.float64), ku).T).T
+    a = np.triu(a) - np.triu(a, ku + 1)  # upper banded, bandwidth ku
+    s = band_sigma_lapack(a, ku=ku)
+    s_ref = np.linalg.svd(a, compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_band_sigma_packed_matches_gk(rng):
+    """The packed-from-blocks LAPACK path must agree with the GK
+    eigensolve fallback on a real block-bidiagonal program output."""
+    import numpywren_tpu as npw
+    from numpywren_tpu.matrix_init import shard_matrix
+    from numpywren_tpu.models.band import band_sigma_packed, lapack_available
+    from numpywren_tpu.models.svd import (
+        _gk_band_from_blocks,
+        _packed_band_from_blocks,
+    )
+
+    if not lapack_available():
+        pytest.skip("no LAPACK shared library on this host")
+    x = rng.standard_normal((96, 96)).astype(np.float32)
+    m = shard_matrix(x, tile=(32, 32), storage="host")
+    prog, b_mat, _ = npw.bdfac(m)
+    npw.run_program(prog)
+    ab, nn, ku = _packed_band_from_blocks(b_mat)
+    s_lapack = band_sigma_packed(ab, nn, nn, 0, ku)[:96]
+    s_gk = _gk_band_from_blocks(b_mat)[:96]
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s_lapack, s_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(s_lapack, s_gk, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# svd: full singular vectors (two-stage with transform accumulation)
+# ---------------------------------------------------------------------------
+
+def _check_svd(x, u, s, vt, rtol=1e-4):
+    """Factor-level checks (sign/rotation-free): reconstruction,
+    orthogonality, sigma match."""
+    x64 = x.astype(np.float64)
+    k = min(x.shape)
+    assert u.shape == (x.shape[0], k) and vt.shape == (k, x.shape[1])
+    s_ref = np.linalg.svd(x64, compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3 * s_ref[0])
+    rec = (u.astype(np.float64) * s) @ vt.astype(np.float64)
+    err = np.linalg.norm(rec - x64) / np.linalg.norm(x64)
+    assert err < rtol, f"reconstruction error {err}"
+    np.testing.assert_allclose(u.T @ u, np.eye(k), atol=5e-4)
+    np.testing.assert_allclose(vt @ vt.T, np.eye(k), atol=5e-4)
+
+
+@pytest.mark.parametrize("n,tile", [(64, 16), (96, 32), (70, 32)])
+def test_svd_square(rng, n, tile):
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    u, s, vt = models.svd(x, tile=tile)
+    _check_svd(x, u, s, vt)
+
+
+def test_svd_vectors_match_numpy_up_to_sign(rng):
+    """Well-separated spectrum: each singular vector must match
+    np.linalg.svd up to a consistent (u_i, v_i) sign flip (VERDICT r2 #3
+    'matching np.linalg.svd to 1e-4 (up to sign)')."""
+    x, _ = _logspace_matrix(rng, 64, 64, kappa=1e3)
+    x = x.astype(np.float32)
+    u, s, vt = models.svd(x, tile=16)
+    u_ref, s_ref, vt_ref = np.linalg.svd(x.astype(np.float64))
+    flip = np.sign(np.sum(u * u_ref, axis=0))
+    np.testing.assert_allclose(u * flip, u_ref, atol=1e-4)
+    np.testing.assert_allclose(vt * flip[:, None], vt_ref, atol=1e-4)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(160, 48), (48, 160)])
+def test_svd_rectangular(rng, shape):
+    x = rng.standard_normal(shape).astype(np.float32)
+    u, s, vt = models.svd(x, tile=16)
+    _check_svd(x, u, s, vt)
+
+
+def test_svd_tiled_input(rng):
+    from numpywren_tpu.matrix_init import shard_matrix
+
+    x = rng.standard_normal((96, 96)).astype(np.float32)
+    m = shard_matrix(x, tile=(32, 32), storage="host")
+    u, s, vt = models.svd(m, tile=32)
+    _check_svd(x, u, s, vt)
+
+
+def test_svd_house_panels(rng):
+    x = rng.standard_normal((64, 64)).astype(np.float32)
+    u, s, vt = models.svd(x, tile=16, panel_method="house")
+    _check_svd(x, u, s, vt)
+
+
+# ---------------------------------------------------------------------------
 # svd_tall / randomized_svd
 # ---------------------------------------------------------------------------
 
