@@ -476,10 +476,86 @@ def bench_bdfac(n, tile, dtype, precision, syrk_depth):
     return flops / per / 1e12, per, {}
 
 
+def bench_numerics():
+    """On-chip numerics gate (VERDICT r2 #6): the kappa ladder through the
+    adaptive-CholeskyQR chain and the BDFAC panel composition, emitting one
+    JSON line of max errors per rung. The round-2 breakdown family each has
+    a rung that fails on the pre-fix code: kappa>=1e4 rungs catch plain-
+    CholeskyQR NaN Grams (tile>=256 case), the 1e5 rung catches finite-
+    garbage pivots (pivot-floor test), 1e6+ catches over-shift, and the
+    bdfac rungs catch the sigma/orthogonality composition on-chip (fp32-
+    HIGH Gram roundoff that CPU meshes cannot see)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from numpywren_tpu.compiler.lower import fused_tsqr
+    from numpywren_tpu import models
+
+    rng = np.random.default_rng(0)
+
+    def logspace_mat(m, b, kappa):
+        u, _ = np.linalg.qr(rng.standard_normal((m, b)))
+        v, _ = np.linalg.qr(rng.standard_normal((b, b)))
+        sv = np.logspace(0, -np.log10(kappa), b)
+        return (u * sv) @ v.T
+
+    rungs = {}
+    ok = 0
+    total = 0
+    fast = bool(os.environ.get("NPW_BENCH_FAST"))
+    m, b = (8192, 128) if fast else (65536, 256)
+    ladder = [1e2, 1e4, 1e6, 1e8] if fast else [1e2, 1e3, 1e4, 1e5, 1e6, 1e7, 1e8]
+    for kappa in ladder:
+        a = logspace_mat(m, b, kappa).astype(np.float32)
+        q, r = fused_tsqr(jnp.asarray(a), tile_rows=m, compute_q=True,
+                          method="cholqr3s")
+        q = np.asarray(q)
+        ortho = float(np.max(np.abs(q.T @ q - np.eye(b))))
+        resid = float(np.linalg.norm(q @ np.asarray(r) - a) / np.linalg.norm(a))
+        passed = np.isfinite(ortho) and ortho < 1e-3 and resid < 1e-4
+        rungs[f"cholqr3s_kappa_{kappa:.0e}"] = {
+            "ortho_max": ortho, "resid": resid, "pass": bool(passed)}
+        ok += passed
+        total += 1
+        log(f"cholqr3s kappa={kappa:.0e}: ortho {ortho:.2e} resid {resid:.2e}"
+            f" {'PASS' if passed else 'FAIL'}")
+    # bdfac panel composition at the tile sizes where plain CholeskyQR
+    # panels NaN'd on-chip in round 2 (tile >= 256)
+    for tile in ([256] if fast else [256, 512]):
+        n = 1024 if fast else 2048
+        x = rng.standard_normal((n, n)).astype(np.float32)
+        s = models.singular_values(x, tile=tile)
+        s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+        err = float(np.max(np.abs(s - s_ref)) / s_ref[0])
+        passed = np.isfinite(err) and err < 1e-4
+        rungs[f"bdfac_sv_tile{tile}"] = {"sv_maxerr": err, "pass": bool(passed)}
+        ok += passed
+        total += 1
+        log(f"bdfac tile={tile}: sv err {err:.2e} {'PASS' if passed else 'FAIL'}")
+    worst = max(
+        v.get("ortho_max", 0.0) if "ortho_max" in v else v["sv_maxerr"]
+        for v in rungs.values()
+    )
+    out = {
+        "metric": "numerics_gate_maxerr",
+        "value": worst,
+        "unit": "maxerr",
+        "vs_baseline": ok / total,  # pass fraction (1.0 = all rungs green)
+        "rungs": rungs,
+        "device": jax.devices()[0].device_kind,
+    }
+    print(json.dumps(out), flush=True)
+    return 0 if ok == total else 1
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--alg", default="cholesky",
                    choices=["cholesky", "gemm", "tsqr", "bdfac"])
+    p.add_argument("--numerics", action="store_true",
+                   help="run the on-chip numerics gate (kappa ladder + "
+                        "bdfac composition) instead of a perf benchmark")
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--tile", type=int, default=None)
     p.add_argument("--dtype", default="float32")
@@ -500,6 +576,9 @@ def main():
     p.add_argument("--target-frac", type=float, default=0.70,
                    help="BASELINE.json north-star fraction of peak")
     args = p.parse_args()
+
+    if args.numerics:
+        sys.exit(bench_numerics())
 
     import jax
     import jax.numpy as jnp

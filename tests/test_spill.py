@@ -183,9 +183,10 @@ def test_strip_cache_evicts_under_cap():
 
 
 def test_pipeline_overlap_event_order():
-    """pipeline_width>=2 must issue panel s+1's upload BEFORE panel s's
-    result download (the reference worker's I/O-compute overlap,
-    job_runner pipeline_width)."""
+    """pipeline_width>=2: panel s+1's prefetch is ISSUED before panel s is
+    even factored, and the newest L strip is served from the device copy
+    (never a host reload) — the reference worker's I/O-compute overlap,
+    job_runner pipeline_width. Serial mode (width 1) keeps strict order."""
     a = random_spd(256, seed=7)
     at = shard_matrix(a, tile=(32, 32), storage="host")
 
@@ -198,7 +199,15 @@ def test_pipeline_overlap_event_order():
     n_panels = 4
     idx = {e: i for i, e in enumerate(events)}
     for s in range(n_panels - 1):
-        assert idx[("upload", s + 1)] < idx[("download", s)], events
+        # prefetch of s+1 issued before factoring s (both main thread)
+        assert idx[("prefetch_issue", s + 1)] < idx[("factor", s)], events
+    for s in range(1, n_panels):
+        # the tallest strip (q = s-1) comes from the device-resident copy:
+        # its FIRST use must be a hit, not a host load
+        first_hit = idx.get(("strip_hit_device", s - 1))
+        first_load = idx.get(("strip_load", s - 1))
+        assert first_hit is not None, events
+        assert first_load is None or first_hit < first_load, events
     # serial mode: upload s+1 strictly after download s
     events2 = []
     out_of_core_cholesky(at, panel_tiles=2, pipeline_width=1,
@@ -206,6 +215,56 @@ def test_pipeline_overlap_event_order():
     idx2 = {e: i for i, e in enumerate(events2)}
     for s in range(n_panels - 1):
         assert idx2[("upload", s + 1)] > idx2[("download", s)], events2
+
+
+def test_pipeline_width_deep_lookahead():
+    """pipeline_width=3 must genuinely prefetch TWO panels ahead (VERDICT
+    r2 weak #9: values > 2 used to behave like 2)."""
+    a = random_spd(320, seed=9)
+    at = shard_matrix(a, tile=(32, 32), storage="host")
+    events = []
+    l = out_of_core_cholesky(at, panel_tiles=2, pipeline_width=3,
+                             on_event=lambda kind, s: events.append((kind, s)))
+    ln = np.tril(l.numpy())
+    assert np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a) < 1e-5
+    idx = {e: i for i, e in enumerate(events)}
+    n_panels = 5
+    for s in range(n_panels - 2):
+        # both s+1 and s+2 issued before factor s
+        assert idx[("prefetch_issue", s + 2)] < idx[("factor", s)], events
+
+
+def test_download_never_blocks_next_factor():
+    """The factored panel's D2H/writeback must not gate the next panel's
+    updates: downloads are BLOCKED (via the event hook, writer thread)
+    until the test observes the NEXT factor — if the main loop waited on
+    the download, this would deadlock (bounded by the gate timeouts)."""
+    import threading
+
+    a = random_spd(256, seed=11)
+    at = shard_matrix(a, tile=(32, 32), storage="host")
+    n_panels = 4
+    gates = {s: threading.Event() for s in range(n_panels)}
+    gates[n_panels - 1].set()  # last download has no later factor
+    log = []
+
+    def hook(kind, s):
+        log.append((kind, s))
+        if kind == "factor" and s - 1 in gates:
+            gates[s - 1].set()   # release download s-1 only now
+        if kind == "download":
+            ok = gates[s].wait(timeout=60)
+            assert ok, f"download {s} never released — main loop deadlock?"
+            log.append(("download_done", s))
+
+    l = out_of_core_cholesky(at, panel_tiles=2, pipeline_width=2,
+                             on_event=hook)
+    ln = np.tril(l.numpy())
+    resid = np.linalg.norm(a - ln @ ln.T) / np.linalg.norm(a)
+    assert resid < 1e-5
+    idx = {e: i for i, e in enumerate(log)}
+    for s in range(n_panels - 1):
+        assert idx[("factor", s + 1)] < idx[("download_done", s)], log
 
 
 def test_config_knobs_wired(monkeypatch):
