@@ -100,7 +100,8 @@ def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth, panel=None):
     # block c holds rows [c*panel, n_pad) of columns [c*panel, (c+1)*panel):
     # local (i, j) = global (c*panel + i, c*panel + j), so the global
     # diagonal is local k=0 in EVERY block
-    big = n_pad * n_pad * 4 > 6 * (1 << 30)  # the X operand would not fit
+    big = (n_pad * n_pad * 4 > 6 * (1 << 30)  # the X operand would not fit
+           or bool(os.environ.get("NPW_BENCH_FORCE_BIG")))
 
     if big:
         # blockwise-PRNG SPD: A[i,j] = s*(r(i,j) + r(j,i)^T) + 2I[i==j],
@@ -242,37 +243,76 @@ def bench_cholesky_trapezoid(n, tile, dtype, precision, syrk_depth, panel=None):
         return rec
 
     if big:
-        # both a_cols and l_cols do not fit together, and the ragged
-        # trapezoid shapes make a one-jit full pass compile-prohibitive:
-        # sample column blocks spread over first/middle/last panels
-        # (every sampled c costs TWO remote compiles — regeneration +
-        # reconstruction — so the default samples 4 blocks, ~6% of all
-        # entries at nb=64; NPW_BENCH_RESID_SAMPLES raises it)
-        n_samp = int(os.environ.get("NPW_BENCH_RESID_SAMPLES", "4"))
-        picks = [round(k * (nb - 1) / max(1, n_samp - 1)) for k in range(n_samp)]
-        sample = sorted({min(nb - 1, max(0, p)) for p in picks})
+        # FULL streamed Frobenius residual (VERDICT r2 #7, replacing the
+        # sampled estimate): work at PANEL-TILE granularity so every op is
+        # a uniform (panel x panel) block — A regenerated blockwise from
+        # the PRNG seed, (L L^T)_ij = sum_q L[i,q] L[j,q]^T as static
+        # slices of the trapezoid columns. Row blocks are grouped into a
+        # few jit programs (compile-count bound for the remote compile
+        # service); lower-triangle blocks only, off-diagonal contributions
+        # doubled by symmetry. Falls back to the old sampled estimate on
+        # any failure (e.g. a compile-service fault at the largest size).
         key0 = jax.random.PRNGKey(0)
-        # per-column regeneration only for the sampled columns (a handful
-        # of extra compiles, vs nb of them if used for construction)
-        mk_one = jax.jit(
-            lambda key, c: jnp.concatenate(
-                [blk(key, i, c) for i in range(c, nb)], axis=0
-            ).astype(dtype),
-            static_argnums=1,
-        )
-        num = den = 0.0
-        for c in sample:
-            a_c = mk_one(key0, c).astype(jnp.float32)
-            d = jax.jit(
-                lambda ls, ac, c=c: (
-                    jnp.sum((ac - rec_col(ls, c)) ** 2), jnp.sum(ac ** 2))
-            )(list(l_cols), a_c)
-            num += fetch_scalar(d[0])
-            den += fetch_scalar(d[1])
-            del a_c
-        resid = (num / den) ** 0.5
-        extra_resid = {"residual_fro_sampled_cols": resid,
-                       "residual_sample": sample}
+
+        def row_group_resid(l_cols, i_list):
+            num = jnp.zeros((), jnp.float32)
+            den = jnp.zeros((), jnp.float32)
+            for i in i_list:
+                for j in range(i + 1):
+                    rec = jnp.zeros((panel, panel), jnp.float32)
+                    for q in range(j + 1):
+                        li = jax.lax.dynamic_slice(
+                            l_cols[q], ((i - q) * panel, 0), (panel, panel)
+                        ).astype(jnp.float32)
+                        lj = jax.lax.dynamic_slice(
+                            l_cols[q], ((j - q) * panel, 0), (panel, panel)
+                        ).astype(jnp.float32)
+                        rec = rec + jnp.matmul(li, lj.T, precision=hp)
+                    a_ij = blk(key0, i, j).astype(jnp.float32)
+                    w = 1.0 if i == j else 2.0  # symmetric off-diag pair
+                    num = num + w * jnp.sum((a_ij - rec) ** 2)
+                    den = den + w * jnp.sum(a_ij ** 2)
+            return num, den
+
+        try:
+            # group row blocks so each program stays modest: ~nb/4 rows
+            # per program -> 4-5 compiles of uniform panel-sized ops
+            group_rows = max(1, nb // 4)
+            num = den = 0.0
+            for g0 in range(0, nb, group_rows):
+                i_list = tuple(range(g0, min(g0 + group_rows, nb)))
+                d = jax.jit(row_group_resid, static_argnums=1)(
+                    list(l_cols), i_list)
+                num += fetch_scalar(d[0])
+                den += fetch_scalar(d[1])
+            resid = (num / den) ** 0.5
+            extra_resid = {"residual_fro": resid, "residual_full": True}
+        except Exception as e:  # noqa: BLE001 — compile-service fallback
+            log(f"full residual failed ({type(e).__name__}: {e}); "
+                "falling back to sampled columns")
+            n_samp = int(os.environ.get("NPW_BENCH_RESID_SAMPLES", "4"))
+            picks = [round(k * (nb - 1) / max(1, n_samp - 1))
+                     for k in range(n_samp)]
+            sample = sorted({min(nb - 1, max(0, p)) for p in picks})
+            mk_one = jax.jit(
+                lambda key, c: jnp.concatenate(
+                    [blk(key, i, c) for i in range(c, nb)], axis=0
+                ).astype(dtype),
+                static_argnums=1,
+            )
+            num = den = 0.0
+            for c in sample:
+                a_c = mk_one(key0, c).astype(jnp.float32)
+                d = jax.jit(
+                    lambda ls, ac, c=c: (
+                        jnp.sum((ac - rec_col(ls, c)) ** 2), jnp.sum(ac ** 2))
+                )(list(l_cols), a_c)
+                num += fetch_scalar(d[0])
+                den += fetch_scalar(d[1])
+                del a_c
+            resid = (num / den) ** 0.5
+            extra_resid = {"residual_fro_sampled_cols": resid,
+                           "residual_sample": sample}
     else:
         a_cols = make_cols(0)
 
