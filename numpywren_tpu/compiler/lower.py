@@ -343,7 +343,7 @@ def _panel_qr_update(panel, trailing, precision, want_reflector=False):
     return r, trailing
 
 
-def _cholqr3s(p, precision):
+def _cholqr3s(p, precision, conv_tol: float = 1e-4):
     """Thin QR of tall `p` by shifted CholeskyQR3 (same scheme as
     fused_cholqr3s_fn, inlined for composition inside larger jits): the
     shifted first pass cannot break down — plain CholeskyQR(2) panels DO
@@ -352,160 +352,237 @@ def _cholqr3s(p, precision):
     Grams on real-TPU bdfac runs — and passes 2-3 restore eps-grade
     orthogonality, which the Yamamoto reflector (and hence sigma
     preservation) depends on. See _cholqr_adaptive for the pass policy."""
-    return _cholqr_adaptive(p, precision, rows=False)
+    return _cholqr_adaptive(p, precision, rows=False, conv_tol=conv_tol)
 
 
-def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8):
+def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
+                     conv_tol: float = 1e-4):
     """Adaptive CholeskyQR chain: thin QR (rows=False: p = q r, r upper
     b x b) or thin LQ (rows=True: p = l q, l lower b x b) of p by repeated
-    Gram-Cholesky passes with shift-on-breakdown (_safe_gram_chol).
+    Gram-Cholesky passes with shift-on-breakdown.
 
     Pass policy: always two passes (CholeskyQR2 — quadratic convergence
     gives eps-grade orthogonality whenever the plain factorizations
-    succeed), then up to max_passes - 2 further passes, each under
-    lax.cond firing ONLY if the previous pass needed a shift. One shifted
-    pass contracts kappa^2 by ~4 u sqrt(m b) (linear convergence while
-    shifted), so kappa ~ 1e6 in fp32 burns through ~4 shifted passes
-    before the plain quadratic cleanup — while the well-conditioned
+    succeed), then up to max_passes - 2 further passes firing only until
+    CONVERGED (plain success with the input Gram within conv_tol of I).
+    One shifted pass contracts kappa^2 by ~4 u sqrt(m b) (linear
+    convergence while shifted), so high kappa burns through several
+    shifted passes before the plain quadratic cleanup — measured clean to
+    kappa = 1e8 on-chip (ortho 2.3e-5) — while the well-conditioned
     common case (every panel of a typical bdfac/tsqr sweep) pays exactly
-    CholeskyQR2 cost: the conditional passes are skipped at runtime (TPU
-    executes one lax.cond branch), leaving only an identity-l in the
-    factor composition."""
+    CholeskyQR2 cost.
+
+    Lowering (profiled on-chip at 8192/512, where the non-GEMM op floor
+    is the bdfac bottleneck):
+    - each factoring pass is ONE always-shifted cholesky of
+      G + 4 u sqrt(m b) ||G||_inf I — positive definite by construction,
+      so there is NO pivot test, NO plain/shifted pair, and NO lax.cond
+      around the factor (a cond cost ~0.2-0.35 ms/panel in buffer
+      traffic; computing both factors branchlessly cost ~0.2 ms/panel of
+      extra chol machinery). The ||G||_inf-scaled shift caps the NEXT
+      Gram's deviation at ~shift/u_gram (< the 1e-2 cleanup regime) for
+      ANY input kappa up to total breakdown, so
+    - pass 2 onward selects the first-order cleanup factor
+      chol(I+E) = I + tril(E,-1) + diag(E)/2 (pure VPU, no custom call)
+      whenever dev = max|G - I| < 1e-2 — the common chain is exactly one
+      cholesky call + one VPU cleanup per panel;
+    - a pass whose INPUT dev < conv_tol is the last (its quadratic step
+      lands at ~dev^2: bare plain success is NOT convergence — measured
+      0.12 ortho on a kappa=1e6 panel when the r2 policy stopped there);
+    - extra passes sit behind ONE lax.cond whose taken branch is a
+      lax.while_loop with a single live iterate — the converged case
+      crosses one skipped cond, and memory is CONSTANT in max_passes
+      (nested conds at max_passes=8 on a 1M x 512 operand allocated
+      16.5 G of 15.75 G HBM and OOM'd)."""
     b = p.shape[0] if rows else p.shape[1]
+    m = p.shape[1] if rows else p.shape[0]
     eye = jnp.eye(b, dtype=p.dtype)
+    u = jnp.finfo(jnp.float32).eps
+    shift_c = 4.0 * u * (m * b) ** 0.5
+    # all b x b algebra (folds, analytic Gram updates, Neumann series)
+    # runs at HIGHEST: negligible cost at b x b, and the composed R's
+    # accuracy rides on these products (measured: HIGH smalls doubled the
+    # gate's resid to ~1e-4 at 65536 x 256)
+    hp = jax.lax.Precision.HIGHEST
 
-    def solve(l, x):
-        if rows:
-            return lax.linalg.triangular_solve(l, x, left_side=True, lower=True)
-        return lax.linalg.triangular_solve(l, x, left_side=False, lower=True,
-                                           transpose_a=True)
-
-    def one(x, check_dev=False):
-        """One Gram-Cholesky pass. The returned flag means CONVERGED when
-        check_dev (iterate passes): the plain factorization succeeded AND
-        the input Gram was already within 1e-3 of I — the regime where
-        this pass's quadratic step lands at u-grade orthogonality. A bare
-        plain-success is NOT enough: after a shifted pass the next plain
-        pass succeeds on pivots while leaving kappa(q)^2*u-grade error
-        (measured 0.12 ortho error on a kappa=1e6 triangular panel when
-        the chain stopped there — the r2 policy's singular-vector bug)."""
-        l, ok, dev = _safe_gram_chol(x, precision, rows=rows)
-        flag = ok & (dev < 1e-3) if check_dev else ok
-        return solve(l, x), l, flag
-
-    def cleanup(x):
-        """Pass over an ALREADY near-orthonormal iterate: its Gram is
-        I + E with ||E|| <= kappa^2 u <= 4 u sqrt(m b) (the plain-pass
-        pivot test guarantees this), so chol(I + E) = I + tril(E, -1)
-        + diag(E)/2 to O(||E||^2) <= u — a VPU-only factorization that
-        skips the cholesky custom-call entirely. Profiling showed those
-        custom-calls were 31% of fused-bdfac runtime (~0.3 ms each, cost
-        near-flat in size, ~60 calls per factorization)."""
+    def gram_dev(x):
         if rows:
             g = jnp.matmul(x, x.T, precision=precision)
         else:
             g = jnp.matmul(x.T, x, precision=precision)
         e = g - eye
-        l = eye + jnp.tril(e, -1) + jnp.diag(0.5 * jnp.diagonal(e))
-        ok = jnp.max(jnp.abs(e)) < 1e-2  # first-order regime check
-        return solve(l, x), l, ok
+        return g, e, jnp.max(jnp.abs(e))
 
-    q, l, ok = one(p)
-    ls = [l]
-    q, l, ok = lax.cond(ok, cleanup, lambda x: one(x, True), q)
-    ls.append(l)
+    def shifted_linv(g, extra_floor=0.0):
+        """Always-shifted factor + its EXPLICIT b x b triangular inverse
+        (the MAGMA trick, as in fused_cholesky's inv_panel): the chain
+        then applies L^{-1} by one MXU GEMM instead of a blocked
+        triangular solve against the full (m, b) iterate — the solve's
+        diag-block-invert machinery runs on the big operand, the trtri
+        here on b x b only. chol(G + s I) with s = 4 u sqrt(m b)
+        ||G||_inf is PD by construction: no pivot test, no plain/shifted
+        pair, no cond around the factor."""
+        floor = shift_c * jnp.max(jnp.sum(jnp.abs(g), axis=1)) + extra_floor
+        gs = g + floor * eye
+        # NPW_PALLAS_FACTOR=1 opts into the fused Pallas (L, L^{-1})
+        # kernel (ops/pallas_factor.potrf_inv_pallas). Measured on-chip at
+        # 8192/512: 46.7 ms vs 44.3 ms for the XLA pair — the kernel's
+        # 128-row masked-select factor loop is sequential-depth-bound, so
+        # it does NOT beat the custom calls here; kept as an opt-in for
+        # future hardware where call latency dominates.
+        if on_tpu():
+            import os
 
-    # conditional passes 3..max_passes, NESTED: a lax.cond costs ~10 ms
-    # in pure buffer traffic on a 1M x 512 operand even when its taken
-    # branch is the identity, so the common (converged) case must cross
-    # ONE skipped cond, not max_passes - 2 of them
-    def extra(q, ok, depth):
-        if depth == 0:
-            return (q,)
+            if os.environ.get("NPW_PALLAS_FACTOR", "0") == "1":
+                from numpywren_tpu.ops.pallas_factor import potrf_inv_pallas
 
-        def skip(q):
-            return (q,) + tuple(eye for _ in range(depth))
+                try:
+                    return potrf_inv_pallas(0.5 * (gs + gs.T))
+                except Exception:
+                    pass
+        l = lax.linalg.cholesky(gs, symmetrize_input=True)
+        linv = lax.linalg.triangular_solve(l, eye, left_side=True,
+                                           lower=True)
+        return l, linv
 
-        def run(q):
-            q2, l2, ok2 = one(q, True)
-            rest = extra(q2, ok2, depth - 1)
-            return (rest[0], l2) + tuple(rest[1:])
+    def neumann_linv(e):
+        """First-order-cleanup factor and its GEMM-only inverse: no
+        cholesky call, no triangular machinery at all. With
+        M = tril(E,-1) + diag(E)/2, the applied inverse is the 4-term
+        Neumann/Horner series linv = I - M + M^2 - M^3, whose EXACT
+        inverse is (I + M)(I - M^4)^{-1}; folding
+        l = I + M + M^4(I + M) keeps the R composition consistent to
+        O(||M||^8) — so the cleanup regime safely extends to
+        ||E|| <= 0.1 (on-chip, the analytic pass-2 deviation at 1M x 512
+        measures 2.6e-2: a 1e-2 gate there forced real-Gram extras and a
+        10x slowdown; accuracy is guarded by the conv gate, not this
+        one)."""
+        m_ = jnp.tril(e, -1) + jnp.diag(0.5 * jnp.diagonal(e))
+        t = eye - m_
+        t = eye - jnp.matmul(m_, t, precision=hp)
+        linv = eye - jnp.matmul(m_, t, precision=hp)
+        m2 = jnp.matmul(m_, m_, precision=hp)
+        m4 = jnp.matmul(m2, m2, precision=hp)
+        l = eye + m_ + m4 + jnp.matmul(m4, m_, precision=hp)
+        return l, linv
 
-        return lax.cond(ok, skip, run, q)
+    def apply_linv(x, linv):
+        if rows:
+            return jnp.matmul(linv, x, precision=precision)
+        return jnp.matmul(x, linv.T, precision=precision)
 
-    out = extra(q, ok, max_passes - 2)
-    q = out[0]
-    ls.extend(out[1:])
+    def iterate_pass(x):
+        """Extras pass: first-order cleanup in the near-orthonormal
+        regime, full shifted factor otherwise. The lax.cond carries ONLY
+        b x b values (the factor and its inverse) — the profiled
+        0.2-0.35 ms/panel cond cost came from shuffling the (m, b)
+        iterate through branch buffers; the big-operand application
+        happens outside."""
+        g, e, dev = gram_dev(x)
+        l, linv = lax.cond(dev < 1e-1,
+                           lambda e_, g_: neumann_linv(e_),
+                           lambda e_, g_: shifted_linv(g_),
+                           e, g)
+        out_dev = jnp.max(jnp.abs(small_gram_update(g, linv) - eye))
+        conv_p = (dev < 1e-1) & (out_dev < conv_tol)
+        return apply_linv(x, linv), l, conv_p
+
+    def small_gram_update(g, linv):
+        """G' = L^{-1} G L^{-T}: the NEXT pass's Gram analytically from
+        the current one — two b x b GEMMs instead of a (m, b)-operand
+        Gram. This misses the big apply's own roundoff (~eps_gemm
+        sqrt(b)), which is exactly the orthogonality grade the chain
+        lands at anyway in working precision; the rare extras passes
+        recompute real Grams."""
+        return jnp.matmul(jnp.matmul(linv, g, precision=hp), linv.T,
+                          precision=hp)
+
+    # passes 1-2 with ONE big Gram and ONE big apply: pass 2's Gram comes
+    # from small_gram_update, and the two inverse factors fold into a
+    # single b x b transform applied to the original operand — halving
+    # the chain's large-operand GEMMs (4 m b^2 flops total, CholeskyQR1
+    # cost, vs CholeskyQR2's 8 m b^2)
+    g1, _, _ = gram_dev(p)
+    l1, linv1 = shifted_linv(g1)
+    g2 = small_gram_update(g1, linv1)
+    e2 = g2 - eye
+    dev2 = jnp.max(jnp.abs(e2))
+    # the analytic G2 is NOT a real Gram: its fp roundoff
+    # (~u ||L1^{-1}||^2 ||G1||) can push a near-singular G2 indefinite and
+    # NaN the chol (observed at kappa=1e6, b=16) — shift past that bound
+    rb1 = jnp.max(jnp.sum(jnp.abs(linv1), axis=1))
+    err2 = 3.0 * u * rb1 * rb1 * jnp.max(jnp.sum(jnp.abs(g1), axis=1))
+    l2, linv2 = lax.cond(dev2 < 1e-1,
+                         lambda e_, g_: neumann_linv(e_),
+                         lambda e_, g_: shifted_linv(g_, err2),
+                         e2, g2)
+    linv_tot = jnp.matmul(linv2, linv1, precision=hp)
+    g3 = small_gram_update(g2, linv2)
+    # converged ONLY via the cleanup branch: a shifted pass 2 (dev2 >=
+    # 1e-2) carries the err2-inflated shift in its factor, so its
+    # analytic dev3 floors at ~err2 — such panels must fall through to
+    # the real-Gram extras, which correct everything the analytic path
+    # cannot see (measured: stopping there cost 1e-4-grade absolute sigma
+    # error on moderately conditioned panels)
+    conv = (dev2 < 1e-1) & (jnp.max(jnp.abs(g3 - eye)) < conv_tol)
+    q = apply_linv(p, linv_tot)
+
+    # incremental composition of the R factor: rows form p = L1 L2 ... q
+    # folds on the right; column form p = q (Lk^T ... L1^T) folds new
+    # factors on the LEFT of the running product
     if rows:
-        total = ls[0]
-        for li in ls[1:]:
-            total = jnp.matmul(total, li, precision=precision)
+        def fold(total, li):
+            return jnp.matmul(total, li, precision=hp)
+
+        total = fold(l1, l2)
     else:
-        total = ls[-1].T
-        for li in reversed(ls[:-1]):
-            total = jnp.matmul(total, li.T, precision=precision)
-    return q, total
+        def fold(total, li):
+            return jnp.matmul(li.T, total, precision=hp)
+
+        total = fold(l1.T, l2)
+
+    if max_passes <= 2:
+        return q, total
+
+    def w_cond(carry):
+        _, _, cv, i = carry
+        return jnp.logical_and(jnp.logical_not(cv), i < max_passes - 2)
+
+    def w_body(carry):
+        qc, tot, _, i = carry
+        q2, li, conv2 = iterate_pass(qc)
+        return (q2, fold(tot, li), conv2, i + 1)
+
+    def run_extras(q, total):
+        out = lax.while_loop(w_cond, w_body,
+                             (q, total, jnp.bool_(False), jnp.int32(0)))
+        return out[0], out[1]
+
+    return lax.cond(conv, lambda q, t: (q, t), run_extras, q, total)
 
 
-def _safe_gram_chol(x, precision, rows: bool = False):
-    """Lower Cholesky factor of the Gram matrix G = x^T x (x x^T when
-    rows=True), with SHIFT-ON-BREAKDOWN: factor G plainly; if that produced
-    non-finite entries (G numerically indefinite), select the factorization
-    of G + s I instead, s = 4 u sqrt(m b) ||G||_inf. Both factorizations
-    are b x b — two tiny cholesky calls buy a branch-free lax-friendly
-    select.
-
-    Why this composition (every simpler one failed on real-TPU runs):
-    - plain CholeskyQR2 panels break down: kappa(square random block) ~ n,
-      kappa^2 u reaches O(1) at tile 256+ (NaN Grams in bdfac);
-    - shifting PASS 1 ONLY (paper sCholQR3) caps kappa(Q1)^2 at
-      ~s/sigma_min^2, which for kappa ~ 1e6 in fp32 still exceeds 1/u and
-      breaks pass 2;
-    - shifting EVERY pass unconditionally floors the final orthogonality
-      error at ~shift level (~1e-2 observed at kappa = 1e5): a shifted
-      pass converges linearly, an unshifted one quadratically.
-    Shift-on-breakdown composes both: shifted only while the iterate is
-    bad enough to break the plain factorization, quadratic cleanup after.
-    The shift scales with ||G||_inf >= ||A||_2^2 (within sqrt(b)), NOT
-    ||A||_F^2 — Frobenius overestimates by up to b, and the over-shift
-    pushes the next pass's Gram eigenvalues to roundoff (2.8e-8 min-eig
-    observed on bdfac's final square panel).
-
-    "Breakdown" is judged by the PIVOTS, not just NaN: a numerically
-    near-singular Gram can factor to finite garbage (observed at
-    kappa = 1e5 on CPU: finite L, final orthogonality stuck at ~7e-3).
-    The plain factorization is accepted only when
-    min(diag(L))^2 > 4 u sqrt(m b) ||G||_inf — pivots above the Gram's
-    own roundoff floor, the regime where CholeskyQR converges
-    quadratically.
-
-    Returns (l, ok, dev): ok=False means the shifted branch was taken;
-    dev = max|G - I| is the iterate's distance from orthonormality (the
-    adaptive chain's convergence criterion — free, G is already formed).
-    The shifted factorization runs under lax.cond, so the common
-    (well-conditioned) case pays for exactly one b x b cholesky."""
-    if rows:
-        g = jnp.matmul(x, x.T, precision=precision)
-        b, m = x.shape
-    else:
-        g = jnp.matmul(x.T, x, precision=precision)
-        m, b = x.shape
-    u = jnp.finfo(jnp.float32).eps
-    lam_max = jnp.max(jnp.sum(jnp.abs(g), axis=1))  # >= ||x||_2^2
-    floor = 4.0 * u * (m * b) ** 0.5 * lam_max
-    l_plain = lax.linalg.cholesky(g, symmetrize_input=True)
-    pivots = jnp.diagonal(l_plain)
-    ok = jnp.all(jnp.isfinite(l_plain)) & (jnp.min(pivots * pivots) > floor)
-    dev = jnp.max(jnp.abs(g - jnp.eye(g.shape[0], dtype=g.dtype)))
-
-    def reshifted():
-        eye = jnp.eye(g.shape[0], dtype=g.dtype)
-        return lax.linalg.cholesky(g + floor * eye, symmetrize_input=True)
-
-    return lax.cond(ok, lambda: l_plain, reshifted), ok, dev
+def _small_inv_t(w1, precision):
+    """inv(s_inv) = S for the Yamamoto factor via the EXACT identity
+    s_inv = -W1^T (W1 = the reflector's leading b x b block: check
+    -(Q1 Sigma - I)^T = I - Sigma Q1^T), computed by Cholesky normal
+    equations: (W1^T)^{-1} = W1 (W1^T W1)^{-1}, so S = -W1 C^{-1} with
+    C = W1^T W1 SPD. One b x b GEMM + one cholesky + two b x b triangular
+    solves — profiling showed jnp.linalg.inv's blocked pivoted LU
+    (LuDecompositionBlock, ~0.11 ms/call) plus its diag-block inverts at
+    ~7.5 ms/step of fused bdfac@8192/512, vs ~14 us for a cholesky call.
+    Conditioning: cond(C) = cond(W1)^2 — fine for the tall panels this
+    serves (cond(W1) <= ~25 measured); the accumulate (singular-vector)
+    path keeps the exact LU inverse."""
+    c = jnp.matmul(w1.T, w1, precision=precision)
+    lc = lax.linalg.cholesky(c, symmetrize_input=True)
+    y = lax.linalg.triangular_solve(lc, w1.T, left_side=True, lower=True)
+    m = lax.linalg.triangular_solve(lc, y, left_side=True, lower=True,
+                                    transpose_a=True)
+    return -m  # = -C^{-1} W1^T = S^T  (S = -W1 C^{-1})
 
 
-def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False):
+def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
+                            conv_tol: float = 1e-4, fast_s: bool = False):
     """GEMM-only replacement for _panel_qr_update (VERDICT r1 #4): thin Q,R
     from shifted CholeskyQR3, then the FULL orthogonal factor as a Yamamoto
     basis-kernel reflector
@@ -525,7 +602,7 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False):
     into O(1)); but H = Q Sigma EXACTLY in that case, so the reflector is
     just the dense orthogonal factor."""
     b = panel.shape[1]
-    q, r = _cholqr3s(panel, precision)
+    q, r = _cholqr3s(panel, precision, conv_tol=conv_tol)
     if panel.shape[0] == b:
         sigma_sq = -jnp.where(jnp.diagonal(q[:b]) >= 0, 1.0,
                               -1.0).astype(q.dtype)
@@ -545,8 +622,13 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False):
         # fold S into W once (b x b inverse + one skinny GEMM — S is
         # well-conditioned by the Sigma choice): applying S by LU-solve
         # against the full-width w1 ran at triangular-solve speed, not
-        # GEMM speed, on every panel
-        ws = jnp.matmul(w, jnp.linalg.inv(s_inv).T, precision=precision)
+        # GEMM speed, on every panel. fast_s replaces the LU inverse with
+        # the chol-normal-equations form (see _small_inv_t).
+        if fast_s:
+            st = _small_inv_t(w[:b], precision)          # = S^T (b, b)
+            ws = jnp.matmul(w, st, precision=precision)  # = W S^T
+        else:
+            ws = jnp.matmul(w, jnp.linalg.inv(s_inv).T, precision=precision)
         w1 = jnp.matmul(w.T, trailing, precision=precision)      # (b, c)
         trailing = trailing - jnp.matmul(ws, w1, precision=precision)
     # H^T panel = E Sigma R: the factor's row block is Sigma R (still upper)
@@ -555,16 +637,17 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False):
     return sigma[:, None] * r, trailing
 
 
-def _cholqr3s_rows(p, precision):
+def _cholqr3s_rows(p, precision, conv_tol: float = 1e-4):
     """Row-form shifted CholeskyQR3: thin LQ of wide `p` (b x m) as
     p = l @ qr with l lower-triangular (b x b) and qr row-orthonormal
     (b x m). The exact mirror of _cholqr3s with the Gram taken as p p^T
     and the triangular solve from the left — no transpose of `p` is ever
     materialized (the MXU absorbs the transposition inside the GEMM)."""
-    return _cholqr_adaptive(p, precision, rows=True)
+    return _cholqr_adaptive(p, precision, rows=True, conv_tol=conv_tol)
 
 
-def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False):
+def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
+                            conv_tol: float = 1e-4, fast_s: bool = False):
     """Right-side mirror of _panel_qr_update_cholqr for the LQ sweep:
     LQ-factor the wide row `panel` (b x m) and apply the full orthogonal
     factor from the RIGHT to `body` (rows x m), entirely in row
@@ -578,7 +661,7 @@ def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False):
     body H = body - (body W) S W^T, where every product against
     W = Wr^T rides the GEMM's transpose flag. Returns (l Sigma, body')."""
     b = panel.shape[0]
-    qr_, l = _cholqr3s_rows(panel, precision)
+    qr_, l = _cholqr3s_rows(panel, precision, conv_tol=conv_tol)
     q1 = qr_[:, :b]  # (b, b): Q1^T in the column-form derivation
     d = jnp.diagonal(q1)
     sigma = -jnp.where(d >= 0, 1.0, -1.0).astype(qr_.dtype)
@@ -587,8 +670,14 @@ def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False):
     s_inv = jnp.eye(b, dtype=qr_.dtype) - sigma[:, None] * q1
     if body is not None and body.shape[0]:
         # fold S into W^T once (see _panel_qr_update_cholqr: LU-solving
-        # against the full-width RHS ran at solve speed per panel)
-        s_wr = jnp.matmul(jnp.linalg.inv(s_inv), wr, precision=precision)
+        # against the full-width RHS ran at solve speed per panel). Row
+        # form: s_inv_row = I - Sigma q1 = -wr1 for wr1 = wr[:, :b], so
+        # S_row = -wr1^{-1} = (C^{-1} wr1^T)... = _small_inv_t(wr1^T)^T
+        if fast_s:
+            s_row = _small_inv_t(wr[:, :b].T, precision).T   # = S_row
+            s_wr = jnp.matmul(s_row, wr, precision=precision)
+        else:
+            s_wr = jnp.matmul(jnp.linalg.inv(s_inv), wr, precision=precision)
         u1 = jnp.matmul(body, wr.T, precision=precision)   # (rows, b) = B W
         body = body - jnp.matmul(u1, s_wr, precision=precision)
     if want_reflector:
@@ -662,8 +751,23 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
         panel_method = os.environ.get("NPW_BDFAC_PANEL", "cholqr")
     if panel_method not in ("cholqr", "house"):
         raise ValueError(f"unknown bdfac panel_method {panel_method!r}")
-    panel_update = (_panel_qr_update_cholqr if panel_method == "cholqr"
-                    else _panel_qr_update)
+    # panel-chain convergence tolerance (a bound on each factor's OUTPUT
+    # Gram deviation): sweeps that are orthogonal to 1e-5 keep sigma to
+    # ~1e-5 absolute and the vector accumulators eps-grade; typical tall
+    # panels converge analytically at this tolerance in two passes, and
+    # only near-square / ill-conditioned panels pay real extra passes
+    conv_tol = 1e-5
+    # fast_s: chol-normal-equations S application (no LU) — the sigma-only
+    # perf path; the vector path keeps the exact LU inverse (cond(W1)^2
+    # sensitivity would land in the accumulated P/Q)
+    fast_s = not accumulate
+    panel_update = (
+        functools.partial(_panel_qr_update_cholqr, conv_tol=conv_tol,
+                          fast_s=fast_s)
+        if panel_method == "cholqr" else _panel_qr_update
+    )
+    panel_lq = functools.partial(_panel_lq_update_cholqr, conv_tol=conv_tol,
+                                 fast_s=fast_s)
 
     def bdfac(a):
         # the live trailing matrix shrinks by one block per step and is
@@ -694,15 +798,13 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
                 if panel_method == "cholqr":
                     # row-form LQ: no body.T / body_t.T materialization
                     if accumulate:
-                        l_blk, body2, reflr = _panel_lq_update_cholqr(
+                        l_blk, body2, reflr = panel_lq(
                             row_pan, body, precision, True
                         )
                         q_acc = _apply_reflector_right(q_acc, reflr, c1,
                                                        precision)
                     else:
-                        l_blk, body2 = _panel_lq_update_cholqr(
-                            row_pan, body, precision
-                        )
+                        l_blk, body2 = panel_lq(row_pan, body, precision)
                 else:
                     # Householder path: LQ on the row panel = QR of its
                     # transpose
@@ -813,13 +915,13 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
     (Q := X R^{-1}), so R3 R2 R1 is the R factor regardless of the shift.
 
     Shift policy: every pass uses the shift-on-breakdown Cholesky
-    (_safe_gram_chol — shifted by s = 4 u sqrt(m b) ||G||_inf only when
-    the plain factorization of that pass's Gram comes back non-finite).
-    The paper's worst-case constant (11 u m b ||A||_2^2) is calibrated
-    for fp64; at fp32 it over-shifts by orders of magnitude. Measured on
-    the logspace-spectrum family: clean through kappa = 1e6, vs ~3e3 for
-    plain CholeskyQR2. Beyond that the Householder tree remains the
-    fallback.
+    (_cholqr_adaptive's branchless pass — shifted by
+    s = 4 u sqrt(m b) ||G||_inf only when the plain factorization of that
+    pass's Gram fails the pivot-floor test). The paper's worst-case
+    constant (11 u m b ||A||_2^2) is calibrated for fp64; at fp32 it
+    over-shifts by orders of magnitude. Measured on the logspace-spectrum
+    family: clean through kappa = 1e8 on-chip with max_passes=8 (ortho
+    2.3e-5); the Householder tree remains the last-resort fallback.
 
     All passes are GEMM + small-Cholesky shaped; pass 3 runs under
     lax.cond only when a shift fired, so the well-conditioned common case
@@ -829,7 +931,8 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
         precision = default_precision(dtype)
 
     def f(a):
-        q, r = _cholqr_adaptive(a, precision, rows=False)
+        # headroom to kappa ~ 1e8 (on-chip ladder: ortho 2.3e-5 there)
+        q, r = _cholqr_adaptive(a, precision, rows=False, max_passes=8)
         return (q, r) if compute_q else r
 
     return f

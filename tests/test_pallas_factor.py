@@ -47,3 +47,28 @@ def test_potrf_pallas_fallback_unsupported(rng):
     a = random_spd(96, seed=6).astype(np.float32)
     l = np.asarray(potrf_pallas(jnp.asarray(a)))
     np.testing.assert_allclose(l, kernels.potrf(a), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("n", [128, 512])
+def test_potrf_inv_pallas_fused(n, rng):
+    """Fused (L, L^{-1}) kernel: the adaptive chain's per-panel factor —
+    one kernel instead of cholesky + triangular_solve custom calls."""
+    from numpywren_tpu.ops.pallas_factor import potrf_inv_pallas
+
+    a = random_spd(n, seed=11).astype(np.float32)
+    l, w = potrf_inv_pallas(jnp.asarray(a))
+    l, w = np.asarray(l), np.asarray(w)
+    ref = np.linalg.cholesky(a.astype(np.float64))
+    np.testing.assert_allclose(l, ref, rtol=1e-3, atol=1e-3 * ref.max())
+    np.testing.assert_allclose(l @ w, np.eye(n), atol=1e-4)
+    assert np.abs(np.triu(l, 1)).max() == 0.0
+    assert np.abs(np.triu(w, 1)).max() == 0.0
+
+
+def test_potrf_inv_pallas_fallback(rng):
+    from numpywren_tpu.ops.pallas_factor import potrf_inv_pallas
+
+    a = random_spd(96, seed=12).astype(np.float32)
+    l, w = potrf_inv_pallas(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(l) @ np.asarray(w), np.eye(96),
+                               atol=1e-4)
