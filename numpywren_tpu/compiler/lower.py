@@ -343,7 +343,7 @@ def _panel_qr_update(panel, trailing, precision, want_reflector=False):
     return r, trailing
 
 
-def _cholqr3s(p, precision, conv_tol: float = 1e-4):
+def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None):
     """Thin QR of tall `p` by shifted CholeskyQR3 (same scheme as
     fused_cholqr3s_fn, inlined for composition inside larger jits): the
     shifted first pass cannot break down — plain CholeskyQR(2) panels DO
@@ -352,11 +352,12 @@ def _cholqr3s(p, precision, conv_tol: float = 1e-4):
     Grams on real-TPU bdfac runs — and passes 2-3 restore eps-grade
     orthogonality, which the Yamamoto reflector (and hence sigma
     preservation) depends on. See _cholqr_adaptive for the pass policy."""
-    return _cholqr_adaptive(p, precision, rows=False, conv_tol=conv_tol)
+    return _cholqr_adaptive(p, precision, rows=False, conv_tol=conv_tol,
+                            small_precision=small_precision)
 
 
 def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
-                     conv_tol: float = 1e-4):
+                     conv_tol: float = 1e-4, small_precision=None):
     """Adaptive CholeskyQR chain: thin QR (rows=False: p = q r, r upper
     b x b) or thin LQ (rows=True: p = l q, l lower b x b) of p by repeated
     Gram-Cholesky passes with shift-on-breakdown.
@@ -399,11 +400,21 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
     eye = jnp.eye(b, dtype=p.dtype)
     u = jnp.finfo(jnp.float32).eps
     shift_c = 4.0 * u * (m * b) ** 0.5
-    # all b x b algebra (folds, analytic Gram updates, Neumann series)
-    # runs at HIGHEST: negligible cost at b x b, and the composed R's
-    # accuracy rides on these products (measured: HIGH smalls doubled the
-    # gate's resid to ~1e-4 at 65536 x 256)
-    hp = jax.lax.Precision.HIGHEST
+    # b x b algebra precision (folds, analytic Gram updates, Neumann
+    # series). Default HIGHEST: the composed R's accuracy rides on these
+    # products (measured: HIGH smalls doubled the TSQR gate's resid to
+    # ~1e-4 at 65536 x 256). Callers whose error budget tolerates
+    # bf16x3-grade folds (fused bdfac: sigma bar 1e-4, ~31 panels whose
+    # b x b op time is pure overhead) pass HIGH — at tile 1024 the
+    # HIGHEST smalls alone cost ~2 ms/panel (hlo_stats, 8192/1024)
+    hp = small_precision or jax.lax.Precision.HIGHEST
+    # a pass whose INPUT deviation is below this lands under conv_tol
+    # after its quadratic step (out ~ dev^2 / 4): predicting convergence
+    # from the input dev replaces the analytic post-Gram check — two
+    # fewer b x b GEMMs + a reduction per panel, same fidelity (neither
+    # sees the big apply's own roundoff; that floor is the working-
+    # precision orthogonality grade the chain targets anyway)
+    conv_gate = min(float(conv_tol) ** 0.5, 1e-1)
 
     def gram_dev(x):
         if rows:
@@ -458,12 +469,11 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
         10x slowdown; accuracy is guarded by the conv gate, not this
         one)."""
         m_ = jnp.tril(e, -1) + jnp.diag(0.5 * jnp.diagonal(e))
-        t = eye - m_
-        t = eye - jnp.matmul(m_, t, precision=hp)
-        linv = eye - jnp.matmul(m_, t, precision=hp)
         m2 = jnp.matmul(m_, m_, precision=hp)
+        ip2 = eye + m2
+        linv = ip2 - jnp.matmul(ip2, m_, precision=hp)   # (I+M^2)(I-M)
         m4 = jnp.matmul(m2, m2, precision=hp)
-        l = eye + m_ + m4 + jnp.matmul(m4, m_, precision=hp)
+        l = jnp.matmul(eye + m4, eye + m_, precision=hp)  # (I+M^4)(I+M)
         return l, linv
 
     def apply_linv(x, linv):
@@ -483,8 +493,7 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
                            lambda e_, g_: neumann_linv(e_),
                            lambda e_, g_: shifted_linv(g_),
                            e, g)
-        out_dev = jnp.max(jnp.abs(small_gram_update(g, linv) - eye))
-        conv_p = (dev < 1e-1) & (out_dev < conv_tol)
+        conv_p = dev < conv_gate  # this pass's quadratic step lands < tol
         return apply_linv(x, linv), l, conv_p
 
     def small_gram_update(g, linv):
@@ -517,14 +526,13 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
                          lambda e_, g_: shifted_linv(g_, err2),
                          e2, g2)
     linv_tot = jnp.matmul(linv2, linv1, precision=hp)
-    g3 = small_gram_update(g2, linv2)
-    # converged ONLY via the cleanup branch: a shifted pass 2 (dev2 >=
-    # 1e-2) carries the err2-inflated shift in its factor, so its
-    # analytic dev3 floors at ~err2 — such panels must fall through to
-    # the real-Gram extras, which correct everything the analytic path
+    # converged ONLY via the cleanup branch: a shifted pass 2 carries the
+    # err2-inflated shift in its factor, so such panels must fall through
+    # to the real-Gram extras, which correct everything the analytic path
     # cannot see (measured: stopping there cost 1e-4-grade absolute sigma
-    # error on moderately conditioned panels)
-    conv = (dev2 < 1e-1) & (jnp.max(jnp.abs(g3 - eye)) < conv_tol)
+    # error on moderately conditioned panels). Within the cleanup branch
+    # the input dev predicts the output: dev2 < conv_gate => out < tol.
+    conv = dev2 < conv_gate
     q = apply_linv(p, linv_tot)
 
     # incremental composition of the R factor: rows form p = L1 L2 ... q
@@ -582,7 +590,8 @@ def _small_inv_t(w1, precision):
 
 
 def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
-                            conv_tol: float = 1e-4, fast_s: bool = False):
+                            conv_tol: float = 1e-4, fast_s: bool = False,
+                            small_precision=None):
     """GEMM-only replacement for _panel_qr_update (VERDICT r1 #4): thin Q,R
     from shifted CholeskyQR3, then the FULL orthogonal factor as a Yamamoto
     basis-kernel reflector
@@ -602,7 +611,8 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
     into O(1)); but H = Q Sigma EXACTLY in that case, so the reflector is
     just the dense orthogonal factor."""
     b = panel.shape[1]
-    q, r = _cholqr3s(panel, precision, conv_tol=conv_tol)
+    q, r = _cholqr3s(panel, precision, conv_tol=conv_tol,
+                     small_precision=small_precision)
     if panel.shape[0] == b:
         sigma_sq = -jnp.where(jnp.diagonal(q[:b]) >= 0, 1.0,
                               -1.0).astype(q.dtype)
@@ -625,29 +635,35 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
         # GEMM speed, on every panel. fast_s replaces the LU inverse with
         # the chol-normal-equations form (see _small_inv_t).
         if fast_s:
-            st = _small_inv_t(w[:b], precision)          # = S^T (b, b)
-            ws = jnp.matmul(w, st, precision=precision)  # = W S^T
+            st = _small_inv_t(w[:b], small_precision or precision)  # S^T
         else:
-            ws = jnp.matmul(w, jnp.linalg.inv(s_inv).T, precision=precision)
+            st = jnp.linalg.inv(s_inv).T
         w1 = jnp.matmul(w.T, trailing, precision=precision)      # (b, c)
-        trailing = trailing - jnp.matmul(ws, w1, precision=precision)
+        # apply S on the NARROW side: S^T w1 is (b, b) @ (b, c) — folding
+        # S into W instead costs 2 m b^2 > 2 b^2 c (hlo_stats: the W-fold
+        # was one extra large-GEMM launch per panel)
+        sw1 = jnp.matmul(st, w1, precision=precision)            # (b, c)
+        trailing = trailing - jnp.matmul(w, sw1, precision=precision)
     # H^T panel = E Sigma R: the factor's row block is Sigma R (still upper)
     if want_reflector:
         return sigma[:, None] * r, trailing, ("yam", w, s_inv)
     return sigma[:, None] * r, trailing
 
 
-def _cholqr3s_rows(p, precision, conv_tol: float = 1e-4):
+def _cholqr3s_rows(p, precision, conv_tol: float = 1e-4,
+                   small_precision=None):
     """Row-form shifted CholeskyQR3: thin LQ of wide `p` (b x m) as
     p = l @ qr with l lower-triangular (b x b) and qr row-orthonormal
     (b x m). The exact mirror of _cholqr3s with the Gram taken as p p^T
     and the triangular solve from the left — no transpose of `p` is ever
     materialized (the MXU absorbs the transposition inside the GEMM)."""
-    return _cholqr_adaptive(p, precision, rows=True, conv_tol=conv_tol)
+    return _cholqr_adaptive(p, precision, rows=True, conv_tol=conv_tol,
+                            small_precision=small_precision)
 
 
 def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
-                            conv_tol: float = 1e-4, fast_s: bool = False):
+                            conv_tol: float = 1e-4, fast_s: bool = False,
+                            small_precision=None):
     """Right-side mirror of _panel_qr_update_cholqr for the LQ sweep:
     LQ-factor the wide row `panel` (b x m) and apply the full orthogonal
     factor from the RIGHT to `body` (rows x m), entirely in row
@@ -661,7 +677,8 @@ def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
     body H = body - (body W) S W^T, where every product against
     W = Wr^T rides the GEMM's transpose flag. Returns (l Sigma, body')."""
     b = panel.shape[0]
-    qr_, l = _cholqr3s_rows(panel, precision, conv_tol=conv_tol)
+    qr_, l = _cholqr3s_rows(panel, precision, conv_tol=conv_tol,
+                            small_precision=small_precision)
     q1 = qr_[:, :b]  # (b, b): Q1^T in the column-form derivation
     d = jnp.diagonal(q1)
     sigma = -jnp.where(d >= 0, 1.0, -1.0).astype(qr_.dtype)
@@ -674,12 +691,15 @@ def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
         # form: s_inv_row = I - Sigma q1 = -wr1 for wr1 = wr[:, :b], so
         # S_row = -wr1^{-1} = (C^{-1} wr1^T)... = _small_inv_t(wr1^T)^T
         if fast_s:
-            s_row = _small_inv_t(wr[:, :b].T, precision).T   # = S_row
-            s_wr = jnp.matmul(s_row, wr, precision=precision)
+            s_row = _small_inv_t(wr[:, :b].T,
+                                 small_precision or precision).T  # = S_row
         else:
-            s_wr = jnp.matmul(jnp.linalg.inv(s_inv), wr, precision=precision)
+            s_row = jnp.linalg.inv(s_inv)
         u1 = jnp.matmul(body, wr.T, precision=precision)   # (rows, b) = B W
-        body = body - jnp.matmul(u1, s_wr, precision=precision)
+        # narrow-side S application (see _panel_qr_update_cholqr): fold S
+        # into the (rows, b) projection, not the (b, m) row basis
+        u1s = jnp.matmul(u1, s_row, precision=precision)   # (rows, b)
+        body = body - jnp.matmul(u1s, wr, precision=precision)
     if want_reflector:
         return l * sigma[None, :], body, ("yam_t", wr, s_inv)
     return l * sigma[None, :], body
@@ -761,13 +781,18 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
     # perf path; the vector path keeps the exact LU inverse (cond(W1)^2
     # sensitivity would land in the accumulated P/Q)
     fast_s = not accumulate
+    # b x b chain algebra at HIGH (bf16x3): a fold's 3.7e-6-grade error is
+    # far inside the 1e-4 sigma bar, and at tile >= 512 the HIGHEST smalls
+    # are pure per-panel overhead (hlo_stats: ~2 ms/panel at tile 1024).
+    # The vector path keeps HIGHEST smalls: accumulator consistency.
+    sp = jax.lax.Precision.HIGHEST if accumulate else jax.lax.Precision.HIGH
     panel_update = (
         functools.partial(_panel_qr_update_cholqr, conv_tol=conv_tol,
-                          fast_s=fast_s)
+                          fast_s=fast_s, small_precision=sp)
         if panel_method == "cholqr" else _panel_qr_update
     )
     panel_lq = functools.partial(_panel_lq_update_cholqr, conv_tol=conv_tol,
-                                 fast_s=fast_s)
+                                 fast_s=fast_s, small_precision=sp)
 
     def bdfac(a):
         # the live trailing matrix shrinks by one block per step and is
