@@ -409,12 +409,13 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
     # HIGHEST smalls alone cost ~2 ms/panel (hlo_stats, 8192/1024)
     hp = small_precision or jax.lax.Precision.HIGHEST
     # a pass whose INPUT deviation is below this lands under conv_tol
-    # after its quadratic step (out ~ dev^2 / 4): predicting convergence
-    # from the input dev replaces the analytic post-Gram check — two
-    # fewer b x b GEMMs + a reduction per panel, same fidelity (neither
-    # sees the big apply's own roundoff; that floor is the working-
-    # precision orthogonality grade the chain targets anyway)
-    conv_gate = min(float(conv_tol) ** 0.5, 1e-1)
+    # after its quadratic step (out <= dev^2 / 4, hence gate =
+    # 2 sqrt(tol)): predicting convergence from the input dev replaces
+    # the analytic post-Gram check — two fewer b x b GEMMs + a reduction
+    # per panel, same fidelity (neither sees the big apply's own
+    # roundoff; that floor is the working-precision orthogonality grade
+    # the chain targets anyway)
+    conv_gate = min(2.0 * float(conv_tol) ** 0.5, 1e-1)
 
     def gram_dev(x):
         if rows:
@@ -502,9 +503,17 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
         Gram. This misses the big apply's own roundoff (~eps_gemm
         sqrt(b)), which is exactly the orthogonality grade the chain
         lands at anyway in working precision; the rare extras passes
-        recompute real Grams."""
-        return jnp.matmul(jnp.matmul(linv, g, precision=hp), linv.T,
-                          precision=hp)
+        recompute real Grams. ALWAYS at HIGHEST regardless of
+        small_precision: the convergence decision reads dev off this
+        product, and bf16x3 roundoff here floors the analytic dev at
+        ~1e-2 (measured on-chip at 8192 x 512: dev2 6.9e-3 vs a REAL
+        post-chain dev of 7.6e-5), which forced a wasted real-Gram
+        extras pass on EVERY well-conditioned panel. Two b x b GEMMs at
+        HIGHEST are microseconds; it also keeps err2's fp32-eps bound
+        honest."""
+        hi = jax.lax.Precision.HIGHEST
+        return jnp.matmul(jnp.matmul(linv, g, precision=hi), linv.T,
+                          precision=hi)
 
     # passes 1-2 with ONE big Gram and ONE big apply: pass 2's Gram comes
     # from small_gram_update, and the two inverse factors fold into a
@@ -561,12 +570,13 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
         q2, li, conv2 = iterate_pass(qc)
         return (q2, fold(tot, li), conv2, i + 1)
 
-    def run_extras(q, total):
-        out = lax.while_loop(w_cond, w_body,
-                             (q, total, jnp.bool_(False), jnp.int32(0)))
-        return out[0], out[1]
-
-    return lax.cond(conv, lambda q, t: (q, t), run_extras, q, total)
+    # ONE while whose initial flag already encodes pass-2 convergence:
+    # the converged common case crosses a single zero-trip while op
+    # (~50 us) instead of the previous big-operand cond + nested while
+    # (~140 us/panel, hlo_stats at 8192/512 — the identity branch still
+    # shuffles the (m, b) iterate through branch buffers)
+    out = lax.while_loop(w_cond, w_body, (q, total, conv, jnp.int32(0)))
+    return out[0], out[1]
 
 
 def _small_inv_t(w1, precision):
