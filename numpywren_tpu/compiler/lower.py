@@ -356,7 +356,7 @@ def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None):
                             small_precision=small_precision)
 
 
-def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
+def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
                      conv_tol: float = 1e-4, small_precision=None):
     """Adaptive CholeskyQR chain: thin QR (rows=False: p = q r, r upper
     b x b) or thin LQ (rows=True: p = l q, l lower b x b) of p by repeated
@@ -369,9 +369,15 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 8,
     One shifted pass contracts kappa^2 by ~4 u sqrt(m b) (linear
     convergence while shifted), so high kappa burns through several
     shifted passes before the plain quadratic cleanup — measured clean to
-    kappa = 1e8 on-chip (ortho 2.3e-5) — while the well-conditioned
-    common case (every panel of a typical bdfac/tsqr sweep) pays exactly
-    CholeskyQR2 cost.
+    kappa = 1e8 on-chip (ortho 2.3e-5 at 65536 x 256) — while the
+    well-conditioned common case (every panel of a typical bdfac/tsqr
+    sweep) pays exactly CholeskyQR2 cost. max_passes only bounds the
+    while_loop (converged chains cross ONE zero-trip while op), so the
+    default is sized for the worst supported case: the per-pass kappa
+    contraction is ~sqrt(shift_rel) = ~2 (u^2 m b)^(1/4), which at
+    m = 1M, b = 512 (shift_rel ~1e-2) needs ~9 shifted passes for
+    kappa = 1e8 — max_passes=8 measurably exhausts there (on-chip ortho
+    0.95), 16 leaves headroom.
 
     Lowering (profiled on-chip at 8192/512, where the non-GEMM op floor
     is the bdfac bottleneck):
@@ -955,8 +961,10 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
     pass's Gram fails the pivot-floor test). The paper's worst-case
     constant (11 u m b ||A||_2^2) is calibrated for fp64; at fp32 it
     over-shifts by orders of magnitude. Measured on the logspace-spectrum
-    family: clean through kappa = 1e8 on-chip with max_passes=8 (ortho
-    2.3e-5); the Householder tree remains the last-resort fallback.
+    family: clean through kappa = 1e8 on-chip (ortho 2.3e-5 at
+    65536 x 256; at 1M x 512 the larger shift needs ~9 shifted passes —
+    see _cholqr_adaptive's max_passes sizing); the Householder tree
+    remains the last-resort fallback.
 
     All passes are GEMM + small-Cholesky shaped; pass 3 runs under
     lax.cond only when a shift fired, so the well-conditioned common case
@@ -966,8 +974,9 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
         precision = default_precision(dtype)
 
     def f(a):
-        # headroom to kappa ~ 1e8 (on-chip ladder: ortho 2.3e-5 there)
-        q, r = _cholqr_adaptive(a, precision, rows=False, max_passes=8)
+        # headroom to kappa ~ 1e8 at any supported aspect (default
+        # max_passes=16; see _cholqr_adaptive's sizing note)
+        q, r = _cholqr_adaptive(a, precision, rows=False)
         return (q, r) if compute_q else r
 
     return f

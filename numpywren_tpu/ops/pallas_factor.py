@@ -243,3 +243,167 @@ def trsm_pallas(a: jax.Array, l: jax.Array, *, precision=None) -> jax.Array:
         precision = default_precision(a.dtype)
     w = trtri_pallas(l)
     return jnp.matmul(a, w.T, precision=precision)
+
+
+# ---------------------------------------------------------------------------
+# Blocked-Householder QR (the qr_factor/qr_leaf member of the family)
+# ---------------------------------------------------------------------------
+
+def _householder_panel(pan, j0, m):
+    """Unblocked Householder QR of the (m, B) panel whose global column
+    offset is j0 (rows < j0 + jj are already reduced and must not move).
+
+    Returns (pan, v, tau_row): pan with the R rows in place (subdiagonal
+    left as roundoff garbage — masked later), v the unit-lower Householder
+    vectors (zero above the diagonal, 1 on it), tau_row (1, B).
+
+    All indexing is mask-select (Mosaic cannot lower dynamic_slice on
+    values). LAPACK geqrf conventions: beta = -sign(alpha) ||x||, v
+    normalized to v[diag] = 1, tau = (beta - alpha)/beta in [1, 2]; a
+    zero column yields tau = 1 with v = 0 (H = I) so the compact-WY
+    T-inverse below stays finite."""
+    b = pan.shape[1]
+    rows = lax.broadcasted_iota(jnp.int32, (m, b), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (m, b), 1)
+    hp = lax.Precision.HIGHEST
+
+    def body(jj, carry):
+        pan, v, taus = carry
+        jg = j0 + jj
+        x = jnp.sum(jnp.where((cols == jj) & (rows >= jg), pan, 0.0),
+                    axis=1, keepdims=True)                     # (m, 1)
+        sigma = jnp.sum(x * x)
+        alpha = jnp.sum(jnp.where(rows[:, :1] == jg, x, 0.0))
+        nrm = jnp.sqrt(sigma)
+        beta = jnp.where(alpha >= 0, -nrm, nrm)
+        good = sigma > 0
+        denom = jnp.where(good, alpha - beta, 1.0)  # |denom| >= nrm > 0
+        vcol = jnp.where(rows[:, :1] > jg, x, 0.0) / denom
+        vcol = jnp.where(rows[:, :1] == jg, 1.0, vcol)
+        vcol = jnp.where(good, vcol, 0.0)
+        tau = jnp.where(good, (beta - alpha) / jnp.where(good, beta, 1.0),
+                        1.0)
+        # apply H = I - tau v v^T to the whole panel (v is zero above the
+        # diagonal, so finished rows are untouched; already-reduced columns
+        # only change in their roundoff-grade subdiagonal garbage)
+        w = jnp.matmul(vcol.T, pan, precision=hp) * tau        # (1, b)
+        pan = pan - vcol * w
+        # R[jg, jj] = beta exactly (the rank-1 update leaves roundoff)
+        pan = jnp.where((rows == jg) & (cols == jj), beta, pan)
+        v = jnp.where(cols == jj, vcol, v)
+        taus = jnp.where(cols[:1, :] == jj, tau, taus)
+        return pan, v, taus
+
+    zero_v = jnp.zeros_like(pan)
+    zero_t = jnp.zeros((1, b), pan.dtype)
+    return lax.fori_loop(0, b, body, (pan, zero_v, zero_t))
+
+
+def _invert_upper(tinv, taus):
+    """T = inv(T^{-1}) for the compact-WY factor, where
+    T^{-1} = strict_upper(V^T V) + diag(1/tau) (verify at b=2: T =
+    [[t1, -t1 t2 s12], [0, t2]] inverts to [[1/t1, s12], [0, 1/t2]]).
+    Row-wise back-substitution with masked selects, upper-triangular
+    mirror of _trtri_kernel's loop."""
+    b = tinv.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    hp = lax.Precision.HIGHEST
+    tinv = jnp.where(rows == cols, 1.0 / taus, jnp.where(rows < cols, tinv, 0.0))
+
+    def body(jr, t):
+        j = b - 1 - jr  # rows bottom-up: row j needs rows > j complete
+        piv = jnp.sum(jnp.where((rows == j) & (cols == j), tinv, 0.0))
+        trow = jnp.sum(jnp.where((rows == j) & (cols > j), tinv, 0.0),
+                       axis=0, keepdims=True)
+        ej = (cols[:1, :] == j).astype(tinv.dtype)
+        row = (ej - jnp.matmul(trow, t, precision=hp)) / piv
+        return jnp.where(rows == j, row, t)
+
+    return lax.fori_loop(0, b, body, jnp.zeros_like(tinv))
+
+
+def _qr_kernel(a_ref, q_ref, r_ref, s_ref, *, m, n):
+    """Thin Householder QR of the (m, n) VMEM tile: q (m, n) with
+    orthonormal columns, r (n, n) upper triangular, a = q r to working
+    precision. Blocked compact-WY by 128 columns: per panel an unblocked
+    masked-select factor loop, T from the T^{-1} = strict_upper(V^T V) +
+    diag(1/tau) identity, trailing update and Q reconstruction as MXU
+    GEMMs — the kernel's sequential depth is the n-column factor loop
+    alone."""
+    hp = lax.Precision.HIGHEST
+    s_ref[:] = a_ref[:]
+    panels = []  # (j0, T) — V panels live in q_ref until the rebuild
+    q_ref[:] = jnp.zeros((m, n), a_ref.dtype)
+    for j0 in range(0, n, _B):
+        pan, v, taus = _householder_panel(s_ref[:, j0:j0 + _B], j0, m)
+        s_ref[:, j0:j0 + _B] = pan
+        q_ref[:, j0:j0 + _B] = v
+        s = jnp.matmul(v.T, v, precision=hp)
+        t = _invert_upper(s, taus)
+        panels.append((j0, t))
+        if j0 + _B < n:
+            body = s_ref[:, j0 + _B:]
+            w1 = jnp.matmul(v.T, body, precision=hp)        # (B, cols)
+            s_ref[:, j0 + _B:] = body - jnp.matmul(
+                v, jnp.matmul(t.T, w1, precision=hp), precision=hp)
+    rows_n = lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols_n = lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    r_ref[:] = jnp.where(rows_n <= cols_n, s_ref[:n, :], 0.0)
+    # Q = (I - V1 T1 V1^T) ... (I - Vp Tp Vp^T) E, applied right-to-left
+    rows_m = lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    cols_m = lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    q = jnp.where(rows_m == cols_m, 1.0, 0.0).astype(a_ref.dtype)
+    for j0, t in reversed(panels):
+        v = q_ref[:, j0:j0 + _B]
+        w1 = jnp.matmul(v.T, q, precision=hp)
+        q = q - jnp.matmul(v, jnp.matmul(t, w1, precision=hp), precision=hp)
+    q_ref[:] = q
+
+
+def _qr_supported(m: int, n: int, dtype) -> bool:
+    # three (m, n) fp32 buffers + the (m, n) Q value must sit in VMEM:
+    # the scoped limit is 16M on v5e, and m*n = 2^19 measured 17.45M
+    # (compile-time vmem OOM on-chip), so the envelope stops at 2^18
+    return (m % _B == 0 and n % _B == 0 and m >= n and n <= 512
+            and m * n <= (1 << 18) and dtype == jnp.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _qr_call(m: int, n: int, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    scratch = (pltpu.VMEM((m, n), jnp.float32),) if not interpret else (
+        pltpu.VMEM((m, n), jnp.float32),)
+    return jax.jit(pl.pallas_call(
+        functools.partial(_qr_kernel, m=m, n=n),
+        out_shape=(jax.ShapeDtypeStruct((m, n), jnp.float32),
+                   jax.ShapeDtypeStruct((n, n), jnp.float32)),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    ))
+
+
+def qr_pallas(a: jax.Array, *, interpret: bool = None):
+    """Thin Householder QR of a VMEM-sized tile — the Pallas qr_factor /
+    qr_leaf member of the tile-kernel family (reference semantics:
+    upstream:numpywren/kernels.py qr_factor wraps LAPACK geqrf).
+
+    (q, r) with a = q r, q orthonormal to working precision, r upper
+    triangular — unconditionally stable (no Gram matrix anywhere), the
+    Pallas counterpart of the XLA geqrf custom call for Householder-grade
+    panels. Envelope: fp32, 128 | m, 128 | n, m >= n, n <= 512,
+    m * n <= 256K (VMEM residency: 512K measured 17.45M > the 16M scoped
+    limit on v5e); falls back to jnp.linalg.qr outside it. Like potrf_pallas, the sequential n-column factor loop puts this
+    at custom-call-comparable latency on current hardware — it exists to
+    complete the Pallas kernel family and for fusion opportunities, not
+    as a default (the perf path for well-conditioned panels remains the
+    GEMM-only adaptive CholeskyQR chain in compiler/lower.py)."""
+    m, n = a.shape
+    if interpret is None:
+        from numpywren_tpu.ops.common import on_tpu
+
+        interpret = not on_tpu()
+    if not _qr_supported(m, n, a.dtype):
+        return jnp.linalg.qr(a, mode="reduced")
+    return _qr_call(m, n, interpret)(a)

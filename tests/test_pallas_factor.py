@@ -72,3 +72,60 @@ def test_potrf_inv_pallas_fallback(rng):
     l, w = potrf_inv_pallas(jnp.asarray(a))
     np.testing.assert_allclose(np.asarray(l) @ np.asarray(w), np.eye(96),
                                atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Blocked-Householder QR (qr_pallas — the qr_factor/qr_leaf family member)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(128, 128), (256, 128), (512, 512),
+                                   (1024, 256), (2048, 128)])
+def test_qr_pallas_thin_qr(shape, rng):
+    from numpywren_tpu.ops.pallas_factor import qr_pallas
+
+    m, n = shape
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    q, r = qr_pallas(jnp.asarray(a))
+    q, r = np.asarray(q), np.asarray(r)
+    assert q.shape == (m, n) and r.shape == (n, n)
+    np.testing.assert_allclose(r, np.triu(r))  # exactly upper triangular
+    np.testing.assert_allclose(q.T @ q, np.eye(n), atol=2e-5)
+    np.testing.assert_allclose(q @ r, a, atol=2e-5 * np.abs(a).max() * n**0.5)
+
+
+def test_qr_pallas_ill_conditioned(rng):
+    """Householder grade: no Gram matrix anywhere, so kappa ~ 1e7 (where
+    every CholeskyQR variant breaks at fp32) must still give eps-grade
+    orthogonality."""
+    from numpywren_tpu.ops.pallas_factor import qr_pallas
+
+    m, n = 512, 128
+    u, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    v, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    a = ((u * np.logspace(0, -7, n)) @ v.T).astype(np.float32)
+    q, r = qr_pallas(jnp.asarray(a))
+    q = np.asarray(q)
+    np.testing.assert_allclose(q.T @ q, np.eye(n), atol=5e-5)
+    np.testing.assert_allclose(q @ np.asarray(r), a,
+                               atol=1e-5 * np.abs(a).max())
+
+
+def test_qr_pallas_zero_column(rng):
+    """A zero column (tau = 0 path) must not NaN the compact-WY T."""
+    from numpywren_tpu.ops.pallas_factor import qr_pallas
+
+    m, n = 256, 128
+    a = rng.standard_normal((m, n)).astype(np.float32)
+    a[:, 5] = 0.0
+    q, r = qr_pallas(jnp.asarray(a))
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.isfinite(q).all() and np.isfinite(r).all()
+    np.testing.assert_allclose(q @ r, a, atol=2e-5 * np.abs(a).max() * n**0.5)
+
+
+def test_qr_pallas_fallback_unsupported(rng):
+    from numpywren_tpu.ops.pallas_factor import qr_pallas
+
+    a = rng.standard_normal((100, 60)).astype(np.float32)  # not 128-aligned
+    q, r = qr_pallas(jnp.asarray(a))
+    np.testing.assert_allclose(np.asarray(q) @ np.asarray(r), a, atol=1e-4)
