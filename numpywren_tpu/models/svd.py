@@ -82,14 +82,42 @@ def _band_sigma(bd: np.ndarray, max_band: int) -> np.ndarray:
         return _gk_band_sigma(bd, max_band=max_band)
 
 
+def _tighten_corner_blocks(s_full: np.ndarray, d_last: np.ndarray):
+    """Halve the band: the BDFAC sweep stops LQ-ing when fewer than two
+    superdiagonal blocks remain, so the LAST superdiagonal block is a
+    FULL t x t tile — it alone pushes the global bandwidth from t to
+    2t-1, and LAPACK's dgbbrd cost scales ~ku^1.25 (measured on this
+    host at n=8192: ku=128 -> 42 s, ku=256 -> 134 s). Two tiny host
+    factorizations fix it: LQ the full block (S = L Q, rotating only the
+    last block column), which densifies the last diagonal block R ->
+    R Q^T; then re-QR that block (its left factor would apply to columns
+    right of it — there are none — and to zero columns left of it).
+    Returns (S', R') lower/upper triangular; sigma is exactly preserved
+    (two orthogonal transforms)."""
+    qc, rc = np.linalg.qr(np.asarray(s_full, np.float64).T, mode="reduced")
+    s2 = rc.T                                    # lower triangular
+    _, d2 = np.linalg.qr(np.asarray(d_last, np.float64) @ qc, mode="reduced")
+    return s2, d2
+
+
 def _packed_band_from_blocks(b_mat):
     """LAPACK band storage (AB[ku + i - j, j] = B[i, j], Fortran order)
     assembled from ONLY the diagonal/superdiagonal blocks of a
-    block-bidiagonal TiledMatrix — O(n * tile) memory, no dense square."""
+    block-bidiagonal TiledMatrix — O(n * tile) memory, no dense square.
+    When the grid is uniform (n a tile multiple) the last block pair is
+    corner-tightened first, so ku = t instead of 2t-1 (halves the dgbbrd
+    Givens-chasing cost)."""
     n = b_mat.shape[0]
     t = b_mat.tile[0]
     gm, gn = b_mat.grid
-    ku = min(2 * t - 1, n - 1)
+    corner = None
+    if gm >= 2 and gm == gn and n == gm * t:
+        s_full = np.asarray(b_mat.get_block(gm - 2, gm - 1), np.float64)
+        d_last = np.asarray(b_mat.get_block(gm - 1, gm - 1), np.float64)
+        corner = _tighten_corner_blocks(s_full, d_last)
+        ku = min(t, n - 1)
+    else:
+        ku = min(2 * t - 1, n - 1)
     ab = np.zeros((ku + 1, n), dtype=np.float64, order="F")
 
     def put(blk, r0, c0):
@@ -103,10 +131,17 @@ def _packed_band_from_blocks(b_mat):
                 ab[ku + i0 - j : ku + i1 - j, j] += blk[i0 - r0 : i1 - r0, jj]
 
     for k in range(gm):
-        put(np.asarray(b_mat.get_block(k, k), dtype=np.float64), k * t, k * t)
+        if corner is not None and k == gm - 1:
+            diag = corner[1]
+        else:
+            diag = np.asarray(b_mat.get_block(k, k), dtype=np.float64)
+        put(diag, k * t, k * t)
         if k + 1 < gn:
-            put(np.asarray(b_mat.get_block(k, k + 1), dtype=np.float64),
-                k * t, (k + 1) * t)
+            if corner is not None and k == gm - 2:
+                sup = corner[0]
+            else:
+                sup = np.asarray(b_mat.get_block(k, k + 1), dtype=np.float64)
+            put(sup, k * t, (k + 1) * t)
     return ab, n, ku
 
 
@@ -151,7 +186,7 @@ def _gk_band_from_blocks(b_mat) -> np.ndarray:
     return np.maximum(np.sort(w)[::-1][:n], 0.0)
 
 
-def singular_values(x, tile: int = 512, finish: str = "band",
+def singular_values(x, tile: int = None, finish: str = "band",
                     panel_method: str = None) -> np.ndarray:
     """All singular values, descending (rectangular inputs are first
     QR-reduced to the square sigma-preserving R factor).
@@ -160,9 +195,18 @@ def singular_values(x, tile: int = 512, finish: str = "band",
     (`compiler.lower.fused_bdfac` — the fused lowering of algs.bdfac,
     reference upstream:numpywren/algs.py::bdfac); sigma(B) = sigma(x)
     since the sweeps are orthogonal. Stage 2 extracts sigma(B) on host:
-    `finish="band"` (default) runs the Golub-Kahan banded eigensolve in
-    O(n^2 * tile); `finish="dense"` calls LAPACK SVD on the assembled B
-    (more robust reference path, O(n^3) host flops).
+    `finish="band"` (default) corner-tightens the band to width = tile
+    and runs LAPACK dgbbrd+dbdsdc in O(n^2 * tile); `finish="dense"`
+    calls LAPACK SVD on the assembled B (more robust reference path,
+    O(n^3) host flops).
+
+    tile defaults by n to balance the MXU reduction against the host
+    finish, whose Givens chasing scales ~n^2 ku^1.25 (measured on this
+    1-core host: n=8192 at ku=128 -> 42 s vs DENSE gesdd ~520 s; device
+    reduction is tens of ms either way): n <= 2048 -> 512-wide panels
+    (any finish is cheap there); larger n -> 128 (band finish at
+    ku = 128). Hosts with threaded LAPACK shift the crossover — pass
+    tile explicitly to override.
 
     x is zero-padded to a multiple of `tile` (which only appends zero
     singular values); the returned vector has min(x.shape) entries.
@@ -197,6 +241,9 @@ def singular_values(x, tile: int = 512, finish: str = "band",
     x = np.asarray(x)
     if x.ndim != 2:
         raise ValueError(f"singular_values expects a matrix, got {x.shape}")
+    if tile is None:
+        n_min = min(x.shape) if x.size else 0
+        tile = 512 if (finish == "dense" or n_min <= 2048) else 128
     if x.shape[0] != x.shape[1]:
         # rectangular: one CholeskyQR pass reduces to the square R factor
         # (sigma(A) = sigma(R)), then the two-stage square path below
@@ -235,7 +282,16 @@ def singular_values(x, tile: int = 512, finish: str = "band",
     if finish == "dense":
         s = np.linalg.svd(bd.astype(np.float64), compute_uv=False)
     else:
-        s = _band_sigma(bd, max_band=2 * tile)
+        bd64 = np.asarray(bd, dtype=np.float64)
+        g = bd64.shape[0] // tile
+        if g >= 2:
+            r0, r1 = (g - 2) * tile, (g - 1) * tile
+            s2, d2 = _tighten_corner_blocks(bd64[r0:r1, r1:], bd64[r1:, r1:])
+            bd64[r0:r1, r1:] = s2
+            bd64[r1:, r1:] = d2
+            s = _band_sigma(bd64, max_band=tile)
+        else:
+            s = _band_sigma(bd64, max_band=2 * tile)
     return s[:n]
 
 

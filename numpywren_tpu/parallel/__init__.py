@@ -11,6 +11,7 @@ from numpywren_tpu.parallel import distributed
 from numpywren_tpu.parallel.mesh import make_mesh, mesh_sharding, tile_sharding
 from numpywren_tpu.parallel.fabric import (
     cholesky_1d,
+    cholesky_2d,
     cholqr2_sharded,
     summa_gemm,
     tsqr_butterfly,
@@ -32,5 +33,6 @@ __all__ = [
     "summa_gemm",
     "tsqr_butterfly",
     "cholesky_1d",
+    "cholesky_2d",
     "cholqr2_sharded",
 ]

@@ -375,3 +375,57 @@ def test_singular_values_tiled_hbm(rng):
     s = models.singular_values(xt)
     s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_packed_band_corner_tightened(rng):
+    """Uniform grids corner-tighten the last block pair: ku == tile, not
+    2*tile-1 (halves dgbbrd's Givens-chasing cost), sigma unchanged."""
+    import numpywren_tpu as npw
+    from numpywren_tpu.matrix_init import shard_matrix
+    from numpywren_tpu.models.svd import _packed_band_from_blocks
+
+    x = rng.standard_normal((96, 96)).astype(np.float32)
+    m = shard_matrix(x, tile=(32, 32), storage="host")
+    prog, b_mat, _ = npw.bdfac(m)
+    npw.run_program(prog)
+    ab, nn, ku = _packed_band_from_blocks(b_mat)
+    assert ku == 32  # tightened; un-tightened would be 63
+    # the band content still carries sigma(x) exactly
+    dense = np.zeros((nn, nn))
+    for j in range(nn):
+        i0 = max(0, j - ku)
+        dense[i0 : j + 1, j] = ab[ku + i0 - j : ku + 1, j]
+    s = np.linalg.svd(dense, compute_uv=False)[:96]
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_singular_values_band_finish_tightened_ku(rng, monkeypatch):
+    """The square-array band finish passes the tightened ku (= tile) to
+    the LAPACK band routine, and sigma stays correct."""
+    import numpywren_tpu.models.svd as svd_mod
+    from numpywren_tpu.models import band as band_mod
+
+    if not band_mod.lapack_available():
+        pytest.skip("no LAPACK shared library on this host")
+    seen = {}
+    real = band_mod.band_sigma_lapack
+
+    def spy(a, ku, kl=0):
+        seen["ku"] = ku
+        return real(a, ku=ku, kl=kl)
+
+    monkeypatch.setattr(band_mod, "band_sigma_lapack", spy)
+    x = rng.standard_normal((512, 512)).astype(np.float32)
+    s = models.singular_values(x, tile=128, finish="band")
+    assert seen["ku"] == 128
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3 * s_ref[0])
+
+
+def test_singular_values_auto_tile(rng):
+    """tile=None picks a size-appropriate default and stays correct."""
+    x = rng.standard_normal((300, 300)).astype(np.float32)
+    s = models.singular_values(x)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=1e-3, atol=1e-3 * s_ref[0])
