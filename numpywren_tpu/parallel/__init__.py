@@ -10,6 +10,7 @@ ICI collectives inserted by GSPMD (or explicitly via shard_map in fabric).
 from numpywren_tpu.parallel import distributed
 from numpywren_tpu.parallel.mesh import make_mesh, mesh_sharding, tile_sharding
 from numpywren_tpu.parallel.fabric import (
+    bdfac_1d,
     cholesky_1d,
     cholesky_2d,
     cholqr2_sharded,
@@ -23,6 +24,7 @@ from numpywren_tpu.parallel.sharded import (
 )
 
 __all__ = [
+    "bdfac_1d",
     "distributed",
     "make_mesh",
     "mesh_sharding",
