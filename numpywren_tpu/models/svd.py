@@ -187,7 +187,7 @@ def _gk_band_from_blocks(b_mat) -> np.ndarray:
 
 
 def singular_values(x, tile: int = None, finish: str = "band",
-                    panel_method: str = None) -> np.ndarray:
+                    panel_method: str = None, mesh=None) -> np.ndarray:
     """All singular values, descending (rectangular inputs are first
     QR-reduced to the square sigma-preserving R factor).
 
@@ -213,7 +213,13 @@ def singular_values(x, tile: int = None, finish: str = "band",
     Padding makes the trailing panels rank-deficient, which the default
     CholeskyQR panel factorization cannot handle, so the padded path
     defaults to panel_method="house" (Householder panels, rank-safe);
-    pass panel_method explicitly to override either case."""
+    pass panel_method explicitly to override either case.
+
+    mesh: a jax.sharding.Mesh spanning >1 device routes stage 1 through
+    the distributed reduction (`parallel.fabric.bdfac_1d` — row blocks
+    sharded over the mesh, three O(tile*n) collectives per sweep step):
+    the path for inputs that exceed one chip's HBM. Square tile-multiple
+    inputs only; the band finish is identical."""
     import jax.numpy as jnp
 
     from numpywren_tpu.compiler.lower import fused_bdfac
@@ -266,10 +272,24 @@ def singular_values(x, tile: int = None, finish: str = "band",
         x = xp
         if panel_method is None:
             panel_method = "house"
-    # donate: the device buffer is ours (x went through np.asarray above)
-    bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
-                                panel_method=panel_method, donate=True))
-    if auto_panel and panel_method != "house":
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        # multi-chip stage 1: row blocks sharded over the mesh — the path
+        # for inputs exceeding one chip's HBM (plain shifted-CholeskyQR2
+        # panels; route rank-deficient inputs through the fused path)
+        if n_pad != n:
+            raise ValueError(
+                f"mesh-distributed singular_values needs n ({n}) to be a "
+                f"multiple of tile ({tile}): zero-padding would make the "
+                "trailing panels rank-deficient, which the distributed "
+                "CholeskyQR2 panels cannot factor")
+        from numpywren_tpu.parallel.fabric import bdfac_1d
+
+        bd = np.asarray(bdfac_1d(x, mesh=mesh, tile=tile))
+    else:
+        # donate: the device buffer is ours (x went through np.asarray)
+        bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
+                                    panel_method=panel_method, donate=True))
+    if mesh is None and auto_panel and panel_method != "house":
         # The default CholeskyQR panels can exhaust their shifted passes on
         # an exactly rank-deficient (unpadded) input and return finite
         # garbage. The sweeps are orthogonal, so ||B||_F must equal ||A||_F;
