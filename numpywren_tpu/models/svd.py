@@ -227,6 +227,11 @@ def singular_values(x, tile: int = None, finish: str = "band",
     if finish not in ("band", "dense"):
         raise ValueError(f"unknown finish {finish!r}")
     if hasattr(x, "get_block"):
+        if mesh is not None and getattr(mesh, "size", 1) > 1:
+            raise ValueError(
+                "mesh-distributed singular_values takes a square array, "
+                "not a tiled matrix; materialize (utils.get_local_matrix) "
+                "or run the tiled input through the executor stack")
         # tiled input (any storage tier, including larger-than-HBM host
         # tiers): run the BDFAC program through the executor stack, then
         # read ONLY the diagonal/superdiagonal blocks into the band form —
@@ -250,7 +255,16 @@ def singular_values(x, tile: int = None, finish: str = "band",
     if tile is None:
         n_min = min(x.shape) if x.size else 0
         tile = 512 if (finish == "dense" or n_min <= 2048) else 128
+    use_mesh = mesh is not None and getattr(mesh, "size", 1) > 1
     if x.shape[0] != x.shape[1]:
+        if use_mesh:
+            # the rectangular pre-reduction is single-chip (fused_tsqr on
+            # the full height) — silently falling back would be
+            # indistinguishable from distribution working
+            raise ValueError(
+                "mesh-distributed singular_values supports square inputs "
+                f"only, got {x.shape}; QR-reduce to the square R factor "
+                "first (e.g. parallel.cholqr2_sharded)")
         # rectangular: one CholeskyQR pass reduces to the square R factor
         # (sigma(A) = sigma(R)), then the two-stage square path below
         import jax.numpy as jnp
@@ -272,33 +286,49 @@ def singular_values(x, tile: int = None, finish: str = "band",
         x = xp
         if panel_method is None:
             panel_method = "house"
-    if mesh is not None and getattr(mesh, "size", 1) > 1:
+    if use_mesh:
         # multi-chip stage 1: row blocks sharded over the mesh — the path
         # for inputs exceeding one chip's HBM (plain shifted-CholeskyQR2
-        # panels; route rank-deficient inputs through the fused path)
+        # panels only: no Householder option exists on this path)
         if n_pad != n:
             raise ValueError(
                 f"mesh-distributed singular_values needs n ({n}) to be a "
                 f"multiple of tile ({tile}): zero-padding would make the "
                 "trailing panels rank-deficient, which the distributed "
                 "CholeskyQR2 panels cannot factor")
+        if panel_method is not None:
+            raise ValueError(
+                f"panel_method={panel_method!r} is not supported on the "
+                "mesh-distributed path (bdfac_1d factors panels by shifted "
+                "CholeskyQR2 only); use the single-chip path for inputs "
+                "that need Householder panels")
         from numpywren_tpu.parallel.fabric import bdfac_1d
 
         bd = np.asarray(bdfac_1d(x, mesh=mesh, tile=tile))
+        # no rank-safe rerun exists here, so the ||B||_F invariant must
+        # RAISE instead of silently returning garbage sigma
+        na, nb_ = float(np.linalg.norm(x)), float(np.linalg.norm(bd))
+        if not np.isfinite(nb_) or abs(nb_ - na) > 1e-3 * max(na, 1e-30):
+            raise RuntimeError(
+                "distributed BDFAC lost the Frobenius-norm invariant "
+                f"(||A||={na:.6g} vs ||B||={nb_:.6g}) — the input is too "
+                "ill-conditioned/rank-deficient for CholeskyQR2 panels; "
+                "run without mesh= for the rank-safe single-chip path")
     else:
         # donate: the device buffer is ours (x went through np.asarray)
         bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
                                     panel_method=panel_method, donate=True))
-    if mesh is None and auto_panel and panel_method != "house":
-        # The default CholeskyQR panels can exhaust their shifted passes on
-        # an exactly rank-deficient (unpadded) input and return finite
-        # garbage. The sweeps are orthogonal, so ||B||_F must equal ||A||_F;
-        # a violated invariant (or non-finite B) reruns with the rank-safe
-        # Householder panels (ADVICE r2 #4).
-        na, nb_ = float(np.linalg.norm(x)), float(np.linalg.norm(bd))
-        if not np.isfinite(nb_) or abs(nb_ - na) > 1e-3 * max(na, 1e-30):
-            bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
-                                        panel_method="house", donate=True))
+        if auto_panel and panel_method != "house":
+            # The default CholeskyQR panels can exhaust their shifted
+            # passes on an exactly rank-deficient (unpadded) input and
+            # return finite garbage. The sweeps are orthogonal, so ||B||_F
+            # must equal ||A||_F; a violated invariant (or non-finite B)
+            # reruns with the rank-safe Householder panels (ADVICE r2 #4).
+            na, nb_ = float(np.linalg.norm(x)), float(np.linalg.norm(bd))
+            if not np.isfinite(nb_) or abs(nb_ - na) > 1e-3 * max(na, 1e-30):
+                bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,
+                                            panel_method="house",
+                                            donate=True))
     if finish == "dense":
         s = np.linalg.svd(bd.astype(np.float64), compute_uv=False)
     else:

@@ -373,8 +373,7 @@ def _qr_supported(m: int, n: int, dtype) -> bool:
 def _qr_call(m: int, n: int, interpret: bool):
     from jax.experimental.pallas import tpu as pltpu
 
-    scratch = (pltpu.VMEM((m, n), jnp.float32),) if not interpret else (
-        pltpu.VMEM((m, n), jnp.float32),)
+    scratch = (pltpu.VMEM((m, n), jnp.float32),)
     return jax.jit(pl.pallas_call(
         functools.partial(_qr_kernel, m=m, n=n),
         out_shape=(jax.ShapeDtypeStruct((m, n), jnp.float32),

@@ -624,24 +624,31 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     nbl = -(-nb // p)  # local row-block slots per device
     if precision is None:
         precision = default_precision(jnp.asarray(a).dtype)
-    a = jnp.asarray(a)
-    dt = a.dtype
+    import numpy as _np
+
+    # pack rows block-cyclically on HOST and place each device's shard
+    # directly (device d, slot s = global row block d + s*p): no full-size
+    # device-0 staging copy — a matrix that fits no single HBM must never
+    # exist on one chip, only its (nbl, t, n) shards
+    a_host = _np.asarray(a)
+    dt = jnp.asarray(a_host[:1, :1]).dtype
     hp = jax.lax.Precision.HIGHEST  # replicated t x t algebra
     eye = jnp.eye(t, dtype=dt)
     u_eps = float(jnp.finfo(jnp.float32).eps)
     clog = collective_log if collective_log is not None else []
 
-    # pack rows block-cyclically: device d, slot s = global row block d+s*p
-    packed = jnp.stack([
-        jnp.stack([
-            (a[(d + s * p) * t:(d + s * p + 1) * t, :] if d + s * p < nb
-             else jnp.zeros((t, n), dt))
+    spec = P("d", None, None, None)
+    sharding = NamedSharding(mesh1, spec)
+    shards = []
+    for d, dev in enumerate(devs):
+        local = _np.stack([
+            (a_host[(d + s * p) * t:(d + s * p + 1) * t, :]
+             if d + s * p < nb else _np.zeros((t, n), a_host.dtype))
             for s in range(nbl)
         ], axis=0)
-        for d in range(p)
-    ], axis=0)  # (p, nbl, t, n)
-    spec = P("d", None, None, None)
-    packed = jax.device_put(packed, NamedSharding(mesh1, spec))
+        shards.append(jax.device_put(local[None], dev))
+    packed = jax.make_array_from_single_device_arrays(
+        (p, nbl, t, n), sharding, shards)
 
     def shifted_linv(g):
         floor = 4.0 * u_eps * (n * t) ** 0.5 * jnp.max(
