@@ -100,6 +100,41 @@ def _tighten_corner_blocks(s_full: np.ndarray, d_last: np.ndarray):
     return s2, d2
 
 
+def _pack_band_put(ab, ku, n, blk, r0, c0):
+    """Scatter one upper-triangular-region block into LAPACK band storage
+    AB[ku + i - j, j] (shared by the tiled and block-list packers)."""
+    bm = min(blk.shape[0], n - r0)
+    bn = min(blk.shape[1], n - c0)
+    for jj in range(bn):
+        j = c0 + jj
+        i0 = max(r0, j - ku)
+        i1 = min(r0 + bm, j + 1)  # upper triangular: i <= j
+        if i1 > i0:
+            ab[ku + i0 - j : ku + i1 - j, j] += blk[i0 - r0 : i1 - r0, jj]
+
+
+def _packed_band_from_lists(diags, sups, n, t):
+    """LAPACK band storage from (diag, superdiag) block LISTS (the
+    bdfac_1d(return_band=True) form — O(n * tile) memory end to end).
+    Uniform grids are corner-tightened first (ku = t, not 2t-1)."""
+    gm = len(diags)
+    diags = [np.asarray(d, np.float64) for d in diags]
+    sups = [None if s is None else np.asarray(s, np.float64) for s in sups]
+    if gm >= 2 and n == gm * t and sups[gm - 2] is not None \
+            and sups[gm - 2].shape == (t, t):
+        s2, d2 = _tighten_corner_blocks(sups[gm - 2], diags[gm - 1])
+        sups[gm - 2], diags[gm - 1] = s2, d2
+        ku = min(t, n - 1)
+    else:
+        ku = min(2 * t - 1, n - 1)
+    ab = np.zeros((ku + 1, n), dtype=np.float64, order="F")
+    for k in range(gm):
+        _pack_band_put(ab, ku, n, diags[k], k * t, k * t)
+        if sups[k] is not None:
+            _pack_band_put(ab, ku, n, sups[k], k * t, (k + 1) * t)
+    return ab, n, ku
+
+
 def _packed_band_from_blocks(b_mat):
     """LAPACK band storage (AB[ku + i - j, j] = B[i, j], Fortran order)
     assembled from ONLY the diagonal/superdiagonal blocks of a
@@ -304,16 +339,42 @@ def singular_values(x, tile: int = None, finish: str = "band",
                 "that need Householder panels")
         from numpywren_tpu.parallel.fabric import bdfac_1d
 
-        bd = np.asarray(bdfac_1d(x, mesh=mesh, tile=tile))
+        # band CONTENT only: O(n * tile) host bytes; no dense square is
+        # ever assembled on any device or on the host
+        diags, sups = bdfac_1d(x, mesh=mesh, tile=tile, return_band=True)
         # no rank-safe rerun exists here, so the ||B||_F invariant must
         # RAISE instead of silently returning garbage sigma
-        na, nb_ = float(np.linalg.norm(x)), float(np.linalg.norm(bd))
+        na = float(np.linalg.norm(x))
+        nb_ = float(np.sqrt(sum(
+            float(np.sum(np.square(b, dtype=np.float64)))
+            for b in diags + [s for s in sups if s is not None])))
         if not np.isfinite(nb_) or abs(nb_ - na) > 1e-3 * max(na, 1e-30):
             raise RuntimeError(
                 "distributed BDFAC lost the Frobenius-norm invariant "
                 f"(||A||={na:.6g} vs ||B||={nb_:.6g}) — the input is too "
                 "ill-conditioned/rank-deficient for CholeskyQR2 panels; "
                 "run without mesh= for the rank-safe single-chip path")
+        from numpywren_tpu.models.band import band_sigma_packed
+
+        if finish == "dense":
+            bd = np.zeros((n, n), np.float64)
+            for k, d in enumerate(diags):
+                bd[k * tile:(k + 1) * tile, k * tile:(k + 1) * tile] = d
+                if sups[k] is not None:
+                    bd[k * tile:(k + 1) * tile,
+                       (k + 1) * tile:(k + 2) * tile] = sups[k]
+            return np.linalg.svd(bd, compute_uv=False)[:n]
+        ab, nn, ku = _packed_band_from_lists(diags, sups, n, tile)
+        try:
+            return band_sigma_packed(ab, nn, nn, 0, ku)[:n]
+        except RuntimeError:
+            bd = np.zeros((n, n), np.float64)
+            for k, d in enumerate(diags):
+                bd[k * tile:(k + 1) * tile, k * tile:(k + 1) * tile] = d
+                if sups[k] is not None:
+                    bd[k * tile:(k + 1) * tile,
+                       (k + 1) * tile:(k + 2) * tile] = sups[k]
+            return _gk_band_sigma(bd, max_band=2 * tile)[:n]
     else:
         # donate: the device buffer is ours (x went through np.asarray)
         bd = np.asarray(fused_bdfac(jnp.asarray(x), tile=tile,

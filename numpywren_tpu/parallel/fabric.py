@@ -566,8 +566,8 @@ def cholesky_2d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
 # ---------------------------------------------------------------------------
 
 def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
-             precision=None,
-             collective_log: Optional[list] = None) -> jax.Array:
+             precision=None, return_band: bool = False,
+             collective_log: Optional[list] = None):
     """Block bidiagonalization (algs.bdfac / compiler.lower.fused_bdfac)
     with hand-scheduled collectives over a 1-D mesh — the multi-chip path
     for the SVD flagship, whose single-chip form cannot even hold the
@@ -599,7 +599,10 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     The band converges IN PLACE: finished row blocks hold exactly their
     [R_k | S_k] band content and the masks exclude them from later
     updates. Returns the assembled (n, n) block-bidiagonal B with
-    sigma(B) = sigma(a).
+    sigma(B) = sigma(a) — or, with return_band=True, the band CONTENT
+    only as (diag_blocks, super_blocks) lists of host (t, t) arrays
+    (O(n * tile) bytes fetched; nothing dense ever assembled — the
+    at-scale form consumed by models.singular_values).
 
     Panel factorization here is plain shifted CholeskyQR2 (not the full
     adaptive chain): the fabric path targets the well-conditioned panels
@@ -745,6 +748,20 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
         return local[None]
 
     out = jax.jit(run)(packed)
+    if return_band:
+        # fetch ONLY each block row's band window (t, <=2t) — O(n * tile)
+        # bytes total; the zero bulk of the (n, n) band never leaves the
+        # mesh and no dense square is ever assembled anywhere
+        import numpy as _np2
+
+        diags, sups = [], []
+        for j in range(nb):
+            d, s = j % p, j // p
+            win = _np2.asarray(
+                out[d, s, :, j * t:min((j + 2) * t, n)])
+            diags.append(win[:, :t])
+            sups.append(win[:, t:] if j + 1 < nb else None)
+        return diags, sups
     rows = []
     for j in range(nb):
         d, s = j % p, j // p

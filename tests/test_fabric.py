@@ -349,3 +349,23 @@ def test_bdfac_1d_collective_volume(rng):
     assert len(kinds["lq_rowpan"]) == nb - 2
     for k, vol in kinds["qr_w1"]:
         assert vol == t * (n - (k + 1) * t)
+
+
+def test_bdfac_1d_return_band(rng):
+    """return_band=True fetches only the band blocks and matches the
+    dense return exactly."""
+    from numpywren_tpu.parallel.fabric import bdfac_1d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    n, t = 128, 32
+    mesh = make_mesh(jax.devices()[:4], shape=(1, 4))
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    dense = np.asarray(bdfac_1d(a, mesh=mesh, tile=t))
+    diags, sups = bdfac_1d(a, mesh=mesh, tile=t, return_band=True)
+    assert len(diags) == n // t and sups[-1] is None
+    for k, d in enumerate(diags):
+        np.testing.assert_array_equal(
+            d, dense[k * t:(k + 1) * t, k * t:(k + 1) * t])
+        if k + 1 < n // t:
+            np.testing.assert_array_equal(
+                sups[k], dense[k * t:(k + 1) * t, (k + 1) * t:(k + 2) * t])
