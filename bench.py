@@ -553,7 +553,12 @@ def bench_numerics():
         q = np.asarray(q)
         ortho = float(np.max(np.abs(q.T @ q - np.eye(b))))
         resid = float(np.linalg.norm(q @ np.asarray(r) - a) / np.linalg.norm(a))
-        passed = np.isfinite(ortho) and ortho < 1e-3 and resid < 1e-4
+        # resid bar 2e-4: the measured fp32-HIGH apply floor at 65536x256
+        # spans 5.7e-5..1.14e-4 across healthy rungs (a 1e-4 bar cut
+        # through that distribution and flickered on the kappa=1e6 rung);
+        # a real chain regression lands decades higher (the max_passes
+        # exhaustion case measured ortho 0.95)
+        passed = np.isfinite(ortho) and ortho < 1e-3 and resid < 2e-4
         rungs[f"cholqr3s_kappa_{kappa:.0e}"] = {
             "ortho_max": ortho, "resid": resid, "pass": bool(passed)}
         ok += passed
