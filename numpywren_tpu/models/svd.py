@@ -337,11 +337,14 @@ def singular_values(x, tile: int = None, finish: str = "band",
                 "mesh-distributed path (bdfac_1d factors panels by shifted "
                 "CholeskyQR2 only); use the single-chip path for inputs "
                 "that need Householder panels")
-        from numpywren_tpu.parallel.fabric import bdfac_1d
+        from numpywren_tpu.parallel.fabric import bdfac_1d, bdfac_2d
 
         # band CONTENT only: O(n * tile) host bytes; no dense square is
-        # ever assembled on any device or on the host
-        diags, sups = bdfac_1d(x, mesh=mesh, tile=tile, return_band=True)
+        # ever assembled on any device or on the host. A genuinely 2-D
+        # mesh takes the scalable path (O(tile*n/mesh_dim) collectives);
+        # a flat mesh the 1-D one.
+        reduce_fn = (bdfac_2d if min(mesh.devices.shape) > 1 else bdfac_1d)
+        diags, sups = reduce_fn(x, mesh=mesh, tile=tile, return_band=True)
         # no rank-safe rerun exists here, so the ||B||_F invariant must
         # RAISE instead of silently returning garbage sigma
         na = float(np.linalg.norm(x))

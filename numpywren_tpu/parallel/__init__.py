@@ -11,6 +11,7 @@ from numpywren_tpu.parallel import distributed
 from numpywren_tpu.parallel.mesh import make_mesh, mesh_sharding, tile_sharding
 from numpywren_tpu.parallel.fabric import (
     bdfac_1d,
+    bdfac_2d,
     cholesky_1d,
     cholesky_2d,
     cholqr2_sharded,
@@ -25,6 +26,7 @@ from numpywren_tpu.parallel.sharded import (
 
 __all__ = [
     "bdfac_1d",
+    "bdfac_2d",
     "distributed",
     "make_mesh",
     "mesh_sharding",

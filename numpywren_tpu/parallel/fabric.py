@@ -770,6 +770,259 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
 
 
 # ---------------------------------------------------------------------------
+# Distributed BDFAC over an (r x c) mesh (the mesh-scalable 2-D path)
+# ---------------------------------------------------------------------------
+
+def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
+             precision=None, return_band: bool = False,
+             collective_log: Optional[list] = None):
+    """Block bidiagonalization over an (r x c) mesh with 2-D block-cyclic
+    tiles — the mesh-SCALABLE form of `bdfac_1d`, whose O(tile * n)
+    per-step broadcasts are the 1-D scaling limit (the same structural
+    step cholesky_1d -> cholesky_2d takes; pdgebrd's distribution).
+
+    Per sweep step every collective is O(tile * n / mesh_dim) or
+    (tile, tile)-small:
+
+      QR phase (block column k): two (t, t) Gram psums + a (t, t) Q1
+      psum (CholeskyQR2 with the shifted floor, factors replicated);
+      the Yamamoto W panel — resident on mesh column k%c, row-sharded —
+      is broadcast along mesh COLUMNS (O(n*t/r) per device), the
+      trailing contraction W^T T is psum'd along mesh ROWS (O(n*t/c)),
+      and the two-sided update is then entirely local.
+
+      LQ phase (block row k): the exact mirror — row Grams psum'd along
+      columns then rows, the row basis W_r broadcast along mesh ROWS
+      (O(n*t/c)), the body contraction B W_r^T psum'd along COLUMNS
+      (O(n*t/r)), local update.
+
+    The band converges in place (finished blocks hold their [R|S]
+    content; alive masks exclude them). v1 applies updates over the full
+    local tiles under masks rather than conservatively sliced subranges
+    (correct everywhere; the cholesky_2d-style static slicing is a
+    later flops optimization).
+
+    Returns the dense (n, n) band, or with return_band=True the
+    (diag_blocks, super_blocks) host lists (O(n * tile) bytes fetched,
+    nothing dense assembled). collective_log receives
+    ("kind", k, floats_per_device) for every collective.
+    """
+    mesh = mesh or make_mesh()
+    rows_ax, cols_ax = mesh.axis_names
+    r, c = mesh.devices.shape
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ShapeError(f"bdfac_2d needs a square matrix, got {a.shape}")
+    t = tile
+    if n % t:
+        raise ShapeError(f"n {n} must be a multiple of tile {t}")
+    nb = n // t
+    nbr = -(-nb // r)
+    nbc = -(-nb // c)
+    n_loc_r, n_loc_c = nbr * t, nbc * t
+    if precision is None:
+        precision = default_precision(jnp.asarray(a).dtype)
+    hp = jax.lax.Precision.HIGHEST
+    import numpy as _np
+
+    a_host = _np.asarray(a)
+    dt = jnp.asarray(a_host[:1, :1]).dtype
+    eye = jnp.eye(t, dtype=dt)
+    u_eps = float(jnp.finfo(jnp.float32).eps)
+    clog = collective_log if collective_log is not None else []
+
+    # host-side 2-D block-cyclic packing, placed shard by shard (no
+    # full-size single-device staging buffer — see bdfac_1d)
+    def _blk(i, j):
+        if i < nb and j < nb:
+            return a_host[i * t:(i + 1) * t, j * t:(j + 1) * t]
+        return _np.zeros((t, t), a_host.dtype)
+
+    spec = P(rows_ax, cols_ax, None, None)
+    sharding = NamedSharding(mesh, spec)
+    shards = []
+    dev_grid = mesh.devices
+    for pi in range(r):
+        for pj in range(c):
+            local = _np.concatenate([
+                _np.concatenate([_blk(pi + s * r, pj + q * c)
+                                 for q in range(nbc)], axis=1)
+                for s in range(nbr)
+            ], axis=0)
+            shards.append(jax.device_put(local[None, None],
+                                         dev_grid[pi, pj]))
+    packed = jax.make_array_from_single_device_arrays(
+        (r, c, n_loc_r, n_loc_c), sharding, shards)
+
+    def shifted_linv(g):
+        floor = 4.0 * u_eps * (n * t) ** 0.5 * jnp.max(
+            jnp.sum(jnp.abs(g), axis=1))
+        l = lax.linalg.cholesky(g + floor * eye, symmetrize_input=True)
+        return l, lax.linalg.triangular_solve(l, eye, left_side=True,
+                                              lower=True)
+
+    def psum2(x):
+        return lax.psum(lax.psum(x, rows_ax), cols_ax)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec, check_vma=False)
+    def run(local):
+        local = local[0, 0]  # (n_loc_r, n_loc_c)
+        pi = lax.axis_index(rows_ax)
+        pj = lax.axis_index(cols_ax)
+        glob_r = pi + jnp.arange(nbr) * r
+        glob_c = pj + jnp.arange(nbc) * c
+
+        for k in range(nb):
+            ok_col = pj == (k % c)          # mesh column holding block col k
+            ok_row = pi == (k % r)          # mesh row holding block row k
+            s_k = jnp.clip((k - pi) // r, 0, nbr - 1)
+            t_k = jnp.clip((k - pj) // c, 0, nbc - 1)
+            alive_r = jnp.repeat((glob_r >= k) & (glob_r < nb), t)
+            # ---- QR phase: block column k ----
+            pcol = lax.dynamic_slice(local, (0, t_k * t), (n_loc_r, t))
+            pan = jnp.where(ok_col & alive_r[:, None], pcol,
+                            jnp.zeros_like(pcol))
+            g1 = psum2(jnp.matmul(pan.T, pan, precision=precision))
+            clog.append(("qr_gram", k, t * t))
+            l1, linv1 = shifted_linv(g1)
+            q = jnp.matmul(pan, linv1.T, precision=precision)
+            g2 = psum2(jnp.matmul(q.T, q, precision=precision))
+            clog.append(("qr_gram2", k, t * t))
+            l2, linv2 = shifted_linv(g2)
+            q = jnp.matmul(q, linv2.T, precision=precision)
+            r_mat = jnp.matmul(l2.T, l1.T, precision=hp)
+            q_top = lax.dynamic_slice(q, (s_k * t, 0), (t, t))
+            q1 = psum2(jnp.where(ok_row & ok_col, q_top,
+                                 jnp.zeros_like(q_top)))
+            clog.append(("qr_q1", k, t * t))
+            sigma = -jnp.where(jnp.diagonal(q1) >= 0, 1.0, -1.0).astype(dt)
+            r_signed = sigma[:, None] * r_mat
+            # panel column -> E Sigma R (owner block); dead rows keep band
+            pcol_new = jnp.where(alive_r[:, None], jnp.zeros_like(pcol),
+                                 pcol)
+            pcol_new = jnp.where(
+                ok_row,
+                lax.dynamic_update_slice(pcol_new, r_signed, (s_k * t, 0)),
+                pcol_new)
+            local = jnp.where(
+                ok_col,
+                lax.dynamic_update_slice(local, pcol_new, (0, t_k * t)),
+                local)
+            if k == nb - 1:
+                break
+            # Yamamoto column reflector, broadcast along mesh COLUMNS
+            w = q * sigma[None, :]
+            neg_eye = jnp.where(ok_row & ok_col, -eye, jnp.zeros_like(eye))
+            w = lax.dynamic_update_slice(
+                w, lax.dynamic_slice(w, (s_k * t, 0), (t, t)) + neg_eye,
+                (s_k * t, 0))
+            my_w = lax.psum(w, cols_ax)             # O(n*t/r) per device
+            clog.append(("qr_wbcast", k, n_loc_r * t))
+            s_inv = eye - sigma[:, None] * q1.T
+            st = jnp.linalg.inv(s_inv).T
+            trail_c = jnp.repeat((glob_c > k) & (glob_c < nb), t)
+            tr = jnp.where(trail_c[None, :], local, jnp.zeros_like(local))
+            w1 = lax.psum(jnp.matmul(my_w.T, tr, precision=precision),
+                          rows_ax)                  # O(n*t/c) per device
+            clog.append(("qr_w1", k, t * n_loc_c))
+            sw1 = jnp.matmul(st, w1, precision=hp)
+            upd = jnp.matmul(my_w, sw1, precision=precision)
+            local = local - jnp.where(trail_c[None, :], upd,
+                                      jnp.zeros_like(upd))
+            # ---- LQ phase: block row k ----
+            if nb - k - 1 >= 2:
+                t_k1 = jnp.clip((k + 1 - pj) // c, 0, nbc - 1)
+                ok_col1 = pj == ((k + 1) % c)
+                live_c = jnp.repeat((glob_c >= k + 1) & (glob_c < nb), t)
+                prow = lax.dynamic_slice(local, (s_k * t, 0), (t, n_loc_c))
+                pan_r = jnp.where(ok_row & live_c[None, :], prow,
+                                  jnp.zeros_like(prow))
+                g1r = psum2(jnp.matmul(pan_r, pan_r.T, precision=precision))
+                clog.append(("lq_gram", k, t * t))
+                l1r, linv1r = shifted_linv(g1r)
+                qr1 = jnp.matmul(linv1r, pan_r, precision=precision)
+                g2r = psum2(jnp.matmul(qr1, qr1.T, precision=precision))
+                clog.append(("lq_gram2", k, t * t))
+                l2r, linv2r = shifted_linv(g2r)
+                qr_ = jnp.matmul(linv2r, qr1, precision=precision)
+                l_mat = jnp.matmul(l1r, l2r, precision=hp)
+                qr_top = lax.dynamic_slice(qr_, (0, t_k1 * t), (t, t))
+                q1r = psum2(jnp.where(ok_row & ok_col1, qr_top,
+                                      jnp.zeros_like(qr_top)))
+                clog.append(("lq_q1", k, t * t))
+                sig_r = -jnp.where(jnp.diagonal(q1r) >= 0, 1.0,
+                                   -1.0).astype(dt)
+                wr = qr_ * sig_r[:, None]
+                neg_eye_r = jnp.where(ok_row & ok_col1, -eye,
+                                      jnp.zeros_like(eye))
+                wr = lax.dynamic_update_slice(
+                    wr,
+                    lax.dynamic_slice(wr, (0, t_k1 * t), (t, t)) + neg_eye_r,
+                    (0, t_k1 * t))
+                my_wr = lax.psum(wr, rows_ax)       # O(n*t/c) per device
+                clog.append(("lq_wrbcast", k, t * n_loc_c))
+                s_row = jnp.linalg.inv(eye - sig_r[:, None] * q1r)
+                body_r = jnp.repeat((glob_r > k) & (glob_r < nb), t)
+                body = jnp.where(body_r[:, None] & live_c[None, :], local,
+                                 jnp.zeros_like(local))
+                u1 = lax.psum(jnp.matmul(body, my_wr.T,
+                                         precision=precision),
+                              cols_ax)              # O(n*t/r) per device
+                clog.append(("lq_u1", k, n_loc_r * t))
+                u1s = jnp.matmul(u1, s_row, precision=hp)
+                upd_r = jnp.matmul(u1s, my_wr, precision=precision)
+                local = local - jnp.where(
+                    body_r[:, None] & live_c[None, :], upd_r,
+                    jnp.zeros_like(upd_r))
+                # block row k -> [L sigma_r at block col k+1 | zeros]
+                l_signed = l_mat * sig_r[None, :]
+                row_cur = lax.dynamic_slice(local, (s_k * t, 0),
+                                            (t, n_loc_c))
+                row_new = jnp.where(live_c[None, :],
+                                    jnp.zeros_like(row_cur), row_cur)
+                row_new = jnp.where(
+                    ok_col1,
+                    lax.dynamic_update_slice(row_new, l_signed,
+                                             (0, t_k1 * t)),
+                    row_new)
+                local = jnp.where(
+                    ok_row,
+                    lax.dynamic_update_slice(local, row_new, (s_k * t, 0)),
+                    local)
+            # else: the single superdiagonal block lands in the band as-is
+        return local[None, None]
+
+    out = jax.jit(run)(packed)
+    if return_band:
+        import numpy as _np2
+
+        diags, sups = [], []
+        for j in range(nb):
+            si, ti_ = j // r, j // c
+            diags.append(_np2.asarray(
+                out[j % r, j % c, si * t:(si + 1) * t,
+                    ti_ * t:(ti_ + 1) * t]))
+            if j + 1 < nb:
+                tj = (j + 1) // c
+                sups.append(_np2.asarray(
+                    out[j % r, (j + 1) % c, si * t:(si + 1) * t,
+                        tj * t:(tj + 1) * t]))
+            else:
+                sups.append(None)
+        return diags, sups
+    rows = []
+    for i in range(nb):
+        row = []
+        for j in range(nb):
+            s, q = i // r, j // c
+            row.append(out[i % r, j % c, s * t:(s + 1) * t,
+                           q * t:(q + 1) * t])
+        rows.append(jnp.concatenate(row, axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+# ---------------------------------------------------------------------------
 # Distributed CholeskyQR2 (GEMM + psum; the MXU-native tall-skinny QR)
 # ---------------------------------------------------------------------------
 

@@ -369,3 +369,72 @@ def test_bdfac_1d_return_band(rng):
         if k + 1 < n // t:
             np.testing.assert_array_equal(
                 sups[k], dense[k * t:(k + 1) * t, (k + 1) * t:(k + 2) * t])
+
+
+# ---------------------------------------------------------------------------
+# Distributed BDFAC (2-D block-cyclic)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,tile", [((2, 2), 32), ((2, 4), 32),
+                                        ((2, 3), 32)])
+def test_bdfac_2d_sigma(shape, tile, rng):
+    """2-D distributed band sigma matches numpy on square and non-square
+    (incl. non-divisor) meshes."""
+    from numpywren_tpu.parallel.fabric import bdfac_2d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    n = 192
+    p = shape[0] * shape[1]
+    mesh = make_mesh(jax.devices()[:p], shape=shape)
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    b = np.asarray(bdfac_2d(a, mesh=mesh, tile=tile))
+    s = np.linalg.svd(b.astype(np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
+
+
+def test_bdfac_2d_band_structure_and_blocks(rng):
+    from numpywren_tpu.parallel.fabric import bdfac_2d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    n, t = 192, 32
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    dense = np.asarray(bdfac_2d(a, mesh=mesh, tile=t))
+    scale = np.abs(dense).max()
+    assert np.abs(np.tril(dense, -1)).max() < 1e-4 * scale
+    for i in range(n):
+        hi = min(n, (i // t + 2) * t)
+        assert np.abs(dense[i, hi:]).max(initial=0.0) < 1e-4 * scale
+    diags, sups = bdfac_2d(a, mesh=mesh, tile=t, return_band=True)
+    for k, d in enumerate(diags):
+        np.testing.assert_array_equal(
+            d, dense[k * t:(k + 1) * t, k * t:(k + 1) * t])
+        if k + 1 < n // t:
+            np.testing.assert_array_equal(
+                sups[k], dense[k * t:(k + 1) * t, (k + 1) * t:(k + 2) * t])
+
+
+def test_bdfac_2d_collective_volume(rng):
+    """Every collective is O(tile*n/mesh_dim) or (t,t): the 2-D volume
+    contract that bdfac_1d's O(tile*n) broadcasts do not meet."""
+    from numpywren_tpu.parallel.fabric import bdfac_2d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    n, t, r, c = 192, 32, 2, 4
+    nb = n // t
+    n_loc_r = (-(-nb // r)) * t
+    n_loc_c = (-(-nb // c)) * t
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    clog = []
+    bdfac_2d(a, mesh=make_mesh(jax.devices()[:8], shape=(r, c)), tile=t,
+             collective_log=clog)
+    kinds = {}
+    for kind, k, vol in clog:
+        kinds.setdefault(kind, []).append(vol)
+        assert vol <= max(n_loc_r, n_loc_c) * t, (kind, k, vol)
+    assert len(kinds["qr_gram"]) == nb
+    assert len(kinds["qr_wbcast"]) == nb - 1
+    assert len(kinds["lq_wrbcast"]) == nb - 2
+    assert all(v == n_loc_r * t for v in kinds["qr_wbcast"])
+    assert all(v == t * n_loc_c for v in kinds["qr_w1"])

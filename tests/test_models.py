@@ -437,11 +437,12 @@ def test_singular_values_mesh_distributed(rng):
 
     from numpywren_tpu.parallel.mesh import make_mesh
 
-    mesh = make_mesh(jax.devices()[:4], shape=(1, 4))
     x = rng.standard_normal((192, 192)).astype(np.float32)
-    s = models.singular_values(x, tile=32, mesh=mesh)
     s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
-    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
+    for shape in ((1, 4), (2, 2)):  # flat -> bdfac_1d, 2-D -> bdfac_2d
+        mesh = make_mesh(jax.devices()[:4], shape=shape)
+        s = models.singular_values(x, tile=32, mesh=mesh)
+        np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
     with pytest.raises(ValueError):
         models.singular_values(rng.standard_normal((190, 190)).astype(
             np.float32), tile=32, mesh=mesh)
