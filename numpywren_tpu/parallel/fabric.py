@@ -921,15 +921,21 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             clog.append(("qr_wbcast", k, n_loc_r * t))
             s_inv = eye - sigma[:, None] * q1.T
             st = jnp.linalg.inv(s_inv).T
-            trail_c = jnp.repeat((glob_c > k) & (glob_c < nb), t)
-            tr = jnp.where(trail_c[None, :], local, jnp.zeros_like(local))
-            w1 = lax.psum(jnp.matmul(my_w.T, tr, precision=precision),
+            # conservative static slicing (cholesky_2d's trick): slots
+            # below k//r rows / (k+1)//c cols are dead on EVERY device, so
+            # the update GEMMs shrink with progress; the <=1 stale
+            # boundary block per axis stays masked to a no-op
+            r0s = (k // r) * t
+            c1s = ((k + 1) // c) * t
+            trail_c = jnp.repeat((glob_c > k) & (glob_c < nb), t)[c1s:]
+            tr = jnp.where(trail_c[None, :], local[r0s:, c1s:], 0.0)
+            w1 = lax.psum(jnp.matmul(my_w[r0s:].T, tr, precision=precision),
                           rows_ax)                  # O(n*t/c) per device
-            clog.append(("qr_w1", k, t * n_loc_c))
+            clog.append(("qr_w1", k, t * (n_loc_c - c1s)))
             sw1 = jnp.matmul(st, w1, precision=hp)
-            upd = jnp.matmul(my_w, sw1, precision=precision)
-            local = local - jnp.where(trail_c[None, :], upd,
-                                      jnp.zeros_like(upd))
+            upd = jnp.matmul(my_w[r0s:], sw1, precision=precision)
+            local = local.at[r0s:, c1s:].add(
+                -jnp.where(trail_c[None, :], upd, 0.0))
             # ---- LQ phase: block row k ----
             if nb - k - 1 >= 2:
                 t_k1 = jnp.clip((k + 1 - pj) // c, 0, nbc - 1)
@@ -963,18 +969,22 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
                 my_wr = lax.psum(wr, rows_ax)       # O(n*t/c) per device
                 clog.append(("lq_wrbcast", k, t * n_loc_c))
                 s_row = jnp.linalg.inv(eye - sig_r[:, None] * q1r)
-                body_r = jnp.repeat((glob_r > k) & (glob_r < nb), t)
-                body = jnp.where(body_r[:, None] & live_c[None, :], local,
-                                 jnp.zeros_like(local))
-                u1 = lax.psum(jnp.matmul(body, my_wr.T,
+                # conservative slicing: body rows > k, cols >= k+1
+                r1s = ((k + 1) // r) * t
+                c1b = ((k + 1) // c) * t
+                body_r = jnp.repeat((glob_r > k) & (glob_r < nb), t)[r1s:]
+                live_cs = live_c[c1b:]
+                body = jnp.where(body_r[:, None] & live_cs[None, :],
+                                 local[r1s:, c1b:], 0.0)
+                u1 = lax.psum(jnp.matmul(body, my_wr[:, c1b:].T,
                                          precision=precision),
                               cols_ax)              # O(n*t/r) per device
-                clog.append(("lq_u1", k, n_loc_r * t))
+                clog.append(("lq_u1", k, (n_loc_r - r1s) * t))
                 u1s = jnp.matmul(u1, s_row, precision=hp)
-                upd_r = jnp.matmul(u1s, my_wr, precision=precision)
-                local = local - jnp.where(
-                    body_r[:, None] & live_c[None, :], upd_r,
-                    jnp.zeros_like(upd_r))
+                upd_r = jnp.matmul(u1s, my_wr[:, c1b:], precision=precision)
+                local = local.at[r1s:, c1b:].add(
+                    -jnp.where(body_r[:, None] & live_cs[None, :], upd_r,
+                               0.0))
                 # block row k -> [L sigma_r at block col k+1 | zeros]
                 l_signed = l_mat * sig_r[None, :]
                 row_cur = lax.dynamic_slice(local, (s_k * t, 0),

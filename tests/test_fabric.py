@@ -431,10 +431,12 @@ def test_bdfac_2d_collective_volume(rng):
              collective_log=clog)
     kinds = {}
     for kind, k, vol in clog:
-        kinds.setdefault(kind, []).append(vol)
+        kinds.setdefault(kind, []).append((k, vol))
         assert vol <= max(n_loc_r, n_loc_c) * t, (kind, k, vol)
     assert len(kinds["qr_gram"]) == nb
     assert len(kinds["qr_wbcast"]) == nb - 1
     assert len(kinds["lq_wrbcast"]) == nb - 2
-    assert all(v == n_loc_r * t for v in kinds["qr_wbcast"])
-    assert all(v == t * n_loc_c for v in kinds["qr_w1"])
+    assert all(v == n_loc_r * t for _, v in kinds["qr_wbcast"])
+    # the trailing contraction SHRINKS with progress (conservative slicing)
+    for k, v in kinds["qr_w1"]:
+        assert v == t * (n_loc_c - ((k + 1) // c) * t)
