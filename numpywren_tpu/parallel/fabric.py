@@ -774,7 +774,7 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
 # ---------------------------------------------------------------------------
 
 def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
-             precision=None, return_band: bool = False,
+             precision=None, pallas: bool = True, return_band: bool = False,
              collective_log: Optional[list] = None):
     """Block bidiagonalization over an (r x c) mesh with 2-D block-cyclic
     tiles — the mesh-SCALABLE form of `bdfac_1d`, whose O(tile * n)
@@ -807,6 +807,8 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     nothing dense assembled). collective_log receives
     ("kind", k, floats_per_device) for every collective.
     """
+    from numpywren_tpu.compiler.lower import _matmul, _sub_matmul
+
     mesh = mesh or make_mesh()
     rows_ax, cols_ax = mesh.axis_names
     r, c = mesh.devices.shape
@@ -929,13 +931,17 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             c1s = ((k + 1) // c) * t
             trail_c = jnp.repeat((glob_c > k) & (glob_c < nb), t)[c1s:]
             tr = jnp.where(trail_c[None, :], local[r0s:, c1s:], 0.0)
-            w1 = lax.psum(jnp.matmul(my_w[r0s:].T, tr, precision=precision),
+            w1 = lax.psum(_matmul(my_w[r0s:], tr, ta=True,
+                                  precision=precision, pallas=pallas),
                           rows_ax)                  # O(n*t/c) per device
             clog.append(("qr_w1", k, t * (n_loc_c - c1s)))
             sw1 = jnp.matmul(st, w1, precision=hp)
-            upd = jnp.matmul(my_w[r0s:], sw1, precision=precision)
-            local = local.at[r0s:, c1s:].add(
-                -jnp.where(trail_c[None, :], upd, 0.0))
+            # stale boundary cols masked in the SMALL operand, so the big
+            # update rides the compensated-capable fused subtract
+            sw1m = jnp.where(trail_c[None, :], sw1, 0.0)
+            sub = _sub_matmul(local[r0s:, c1s:], my_w[r0s:], sw1m,
+                              precision=precision, pallas=pallas)
+            local = local.at[r0s:, c1s:].set(sub.astype(dt))
             # ---- LQ phase: block row k ----
             if nb - k - 1 >= 2:
                 t_k1 = jnp.clip((k + 1 - pj) // c, 0, nbc - 1)
@@ -976,15 +982,17 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
                 live_cs = live_c[c1b:]
                 body = jnp.where(body_r[:, None] & live_cs[None, :],
                                  local[r1s:, c1b:], 0.0)
-                u1 = lax.psum(jnp.matmul(body, my_wr[:, c1b:].T,
-                                         precision=precision),
+                u1 = lax.psum(_matmul(body, my_wr[:, c1b:], tb=True,
+                                      precision=precision, pallas=pallas),
                               cols_ax)              # O(n*t/r) per device
                 clog.append(("lq_u1", k, (n_loc_r - r1s) * t))
                 u1s = jnp.matmul(u1, s_row, precision=hp)
-                upd_r = jnp.matmul(u1s, my_wr[:, c1b:], precision=precision)
-                local = local.at[r1s:, c1b:].add(
-                    -jnp.where(body_r[:, None] & live_cs[None, :], upd_r,
-                               0.0))
+                # u1s stale rows and my_wr dead cols are already zero, so
+                # the masked update equals the fused subtract exactly
+                u1sm = jnp.where(body_r[:, None], u1s, 0.0)
+                sub_r = _sub_matmul(local[r1s:, c1b:], u1sm, my_wr[:, c1b:],
+                                    precision=precision, pallas=pallas)
+                local = local.at[r1s:, c1b:].set(sub_r.astype(dt))
                 # block row k -> [L sigma_r at block col k+1 | zeros]
                 l_signed = l_mat * sig_r[None, :]
                 row_cur = lax.dynamic_slice(local, (s_k * t, 0),

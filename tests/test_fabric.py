@@ -440,3 +440,28 @@ def test_bdfac_2d_collective_volume(rng):
     # the trailing contraction SHRINKS with progress (conservative slicing)
     for k, v in kinds["qr_w1"]:
         assert v == t * (n_loc_c - ((k + 1) // c) * t)
+
+
+def test_bdfac_2d_compensated_mode(rng):
+    """NPW compensated + pallas=True runs the 2-D BDFAC update path
+    through the compensated-capable dispatch end to end (CPU mesh falls
+    back to jnp inside _sub_matmul; on TPU the same path engages the
+    bf16x3 kernel) — the precision x multi-chip intersection for the SVD
+    flagship."""
+    from numpywren_tpu.config import default_config
+    from numpywren_tpu.parallel.fabric import bdfac_2d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    n, t = 128, 32
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    cfg = default_config()
+    old = cfg.compensated
+    cfg.compensated = True
+    try:
+        b = np.asarray(bdfac_2d(a, mesh=mesh, tile=t, pallas=True))
+    finally:
+        cfg.compensated = old
+    s = np.linalg.svd(b.astype(np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
