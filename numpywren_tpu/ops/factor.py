@@ -31,9 +31,22 @@ def trsm(a: jax.Array, l: jax.Array) -> jax.Array:
     return lax.linalg.triangular_solve(l, a, left_side=False, lower=True, transpose_a=True)
 
 
-@jax.jit
 def qr_leaf(a: jax.Array):
-    """Thin QR of a (tall) tile: (Q, R)."""
+    """Thin QR of a (tall) tile: (Q, R). NPW_PALLAS_QR=1 opts into the
+    Pallas blocked-Householder kernel (ops/pallas_factor.qr_pallas) for
+    tiles inside its VMEM envelope — measured at custom-call-comparable
+    latency (BENCH.md round 3), kept opt-in like NPW_PALLAS_FACTOR."""
+    import os
+
+    if os.environ.get("NPW_PALLAS_QR", "0") == "1":
+        from numpywren_tpu.ops.pallas_factor import qr_pallas
+
+        return qr_pallas(a)
+    return _qr_leaf_xla(a)
+
+
+@jax.jit
+def _qr_leaf_xla(a: jax.Array):
     q, r = jnp.linalg.qr(a, mode="reduced")
     return q, r
 

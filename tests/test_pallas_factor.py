@@ -129,3 +129,15 @@ def test_qr_pallas_fallback_unsupported(rng):
     a = rng.standard_normal((100, 60)).astype(np.float32)  # not 128-aligned
     q, r = qr_pallas(jnp.asarray(a))
     np.testing.assert_allclose(np.asarray(q) @ np.asarray(r), a, atol=1e-4)
+
+
+def test_qr_leaf_pallas_env_hook(rng, monkeypatch):
+    """NPW_PALLAS_QR=1 routes ops.factor.qr_leaf through qr_pallas."""
+    from numpywren_tpu.ops import factor
+
+    monkeypatch.setenv("NPW_PALLAS_QR", "1")
+    a = rng.standard_normal((256, 128)).astype(np.float32)
+    q, r = factor.qr_leaf(jnp.asarray(a))
+    q, r = np.asarray(q), np.asarray(r)
+    np.testing.assert_allclose(q.T @ q, np.eye(128), atol=2e-5)
+    np.testing.assert_allclose(q @ r, a, atol=3e-4)
