@@ -357,7 +357,8 @@ def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None):
 
 
 def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
-                     conv_tol: float = 1e-4, small_precision=None):
+                     conv_tol: float = 1e-4, small_precision=None,
+                     psum_axes=None, global_m: int = None):
     """Adaptive CholeskyQR chain: thin QR (rows=False: p = q r, r upper
     b x b) or thin LQ (rows=True: p = l q, l lower b x b) of p by repeated
     Gram-Cholesky passes with shift-on-breakdown.
@@ -402,7 +403,15 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
       (nested conds at max_passes=8 on a 1M x 512 operand allocated
       16.5 G of 15.75 G HBM and OOM'd)."""
     b = p.shape[0] if rows else p.shape[1]
-    m = p.shape[1] if rows else p.shape[0]
+    # psum_axes (shard_map callers): the iterate is SHARDED along the
+    # non-b axis and every REAL Gram is psum'd over these mesh axes —
+    # nothing else changes, because all (b, b) algebra (shifted factors,
+    # Neumann cleanup, folds, the analytic pass-2 Gram, the convergence
+    # flag) is a pure function of the replicated Gram, so every device
+    # takes identical extras-pass trips. global_m then supplies the TRUE
+    # operand height for the shift constant (the local shape understates
+    # it by the device count).
+    m = global_m or (p.shape[1] if rows else p.shape[0])
     eye = jnp.eye(b, dtype=p.dtype)
     u = jnp.finfo(jnp.float32).eps
     shift_c = 4.0 * u * (m * b) ** 0.5
@@ -428,6 +437,8 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
             g = jnp.matmul(x, x.T, precision=precision)
         else:
             g = jnp.matmul(x.T, x, precision=precision)
+        if psum_axes is not None:
+            g = lax.psum(g, psum_axes)
         e = g - eye
         return g, e, jnp.max(jnp.abs(e))
 

@@ -15,6 +15,7 @@ from numpywren_tpu.parallel.fabric import (
     cholesky_1d,
     cholesky_2d,
     cholqr2_sharded,
+    cholqr3s_sharded,
     summa_gemm,
     tsqr_butterfly,
 )
@@ -39,4 +40,5 @@ __all__ = [
     "cholesky_1d",
     "cholesky_2d",
     "cholqr2_sharded",
+    "cholqr3s_sharded",
 ]

@@ -374,7 +374,8 @@ def cholesky_2d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
     ("<kind>", k, floats_per_device) for every collective emitted — the
     per-step volume contract is asserted in tests.
     """
-    from numpywren_tpu.compiler.lower import _matmul, _sub_matmul
+    from numpywren_tpu.compiler.lower import (_cholqr_adaptive,
+                                              _matmul, _sub_matmul)
 
     mesh = mesh or make_mesh()
     rows_ax, cols_ax = mesh.axis_names
@@ -613,6 +614,8 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     collective_log (test hook) receives ("kind", k, floats_per_device)
     for every collective emitted while tracing.
     """
+    from numpywren_tpu.compiler.lower import _cholqr_adaptive
+
     mesh = mesh or make_mesh()
     devs = mesh.devices.reshape(-1)
     mesh1 = Mesh(devs, ("d",))
@@ -637,7 +640,6 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     dt = jnp.asarray(a_host[:1, :1]).dtype
     hp = jax.lax.Precision.HIGHEST  # replicated t x t algebra
     eye = jnp.eye(t, dtype=dt)
-    u_eps = float(jnp.finfo(jnp.float32).eps)
     clog = collective_log if collective_log is not None else []
 
     spec = P("d", None, None, None)
@@ -652,13 +654,6 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
         shards.append(jax.device_put(local[None], dev))
     packed = jax.make_array_from_single_device_arrays(
         (p, nbl, t, n), sharding, shards)
-
-    def shifted_linv(g):
-        floor = 4.0 * u_eps * (n * t) ** 0.5 * jnp.max(
-            jnp.sum(jnp.abs(g), axis=1))
-        l = lax.linalg.cholesky(g + floor * eye, symmetrize_input=True)
-        return l, lax.linalg.triangular_solve(l, eye, left_side=True,
-                                              lower=True)
 
     @functools.partial(shard_map, mesh=mesh1, in_specs=(spec,),
                        out_specs=spec, check_vma=False)
@@ -677,17 +672,18 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             alive = ((gids >= k) & (gids < nb)).astype(dt)[:, None, None]
             # --- QR panel: cols [c0, c1), rows >= c0 (CholeskyQR2) ---
             pan = local[:, :, c0:c1] * alive
-            g1 = lax.psum(jnp.einsum("sij,sik->jk", pan, pan,
-                                     precision=precision), "d")
+            # the FULL adaptive shifted-CholeskyQR chain with psum'd real
+            # Grams (compiler.lower._cholqr_adaptive): slot-stacking is a
+            # row permutation of the global panel (Gram-invariant), dead
+            # slots contribute zero rows. Well-conditioned panels cost
+            # exactly two Gram psums; breakdown panels pay extras psums
+            # on demand — the single-chip robustness crosses chips.
+            q2d, r_mat = _cholqr_adaptive(
+                pan.reshape(nbl * t, t), precision, psum_axes=("d",),
+                global_m=n - c0)
             clog.append(("qr_gram", k, t * t))
-            l1, linv1 = shifted_linv(g1)
-            q = jnp.einsum("sij,kj->sik", pan, linv1, precision=precision)
-            g2 = lax.psum(jnp.einsum("sij,sik->jk", q, q,
-                                     precision=precision), "d")
             clog.append(("qr_gram2", k, t * t))
-            l2, linv2 = shifted_linv(g2)
-            q = jnp.einsum("sij,kj->sik", q, linv2, precision=precision)
-            r_mat = jnp.matmul(l2.T, l1.T, precision=hp)
+            q = q2d.reshape(nbl, t, t)
             q1 = psum_masked(q[slot], owner)      # panel top block
             clog.append(("qr_q1", k, t * t))
             sigma = -jnp.where(jnp.diagonal(q1) >= 0, 1.0, -1.0).astype(dt)
@@ -717,13 +713,10 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             if nb - k - 1 >= 2:
                 row_pan = psum_masked(local[slot, :, c1:], owner)
                 clog.append(("lq_rowpan", k, t * (n - c1)))
-                g1r = jnp.matmul(row_pan, row_pan.T, precision=precision)
-                l1r, linv1r = shifted_linv(g1r)
-                qr1 = jnp.matmul(linv1r, row_pan, precision=precision)
-                g2r = jnp.matmul(qr1, qr1.T, precision=precision)
-                l2r, linv2r = shifted_linv(g2r)
-                qr_ = jnp.matmul(linv2r, qr1, precision=precision)
-                l_mat = jnp.matmul(l1r, l2r, precision=hp)
+                # row-form adaptive chain, fully replicated (the row
+                # panel was broadcast; its contraction axis is local)
+                qr_, l_mat = _cholqr_adaptive(row_pan, precision,
+                                              rows=True)
                 q1r = qr_[:, :t]
                 sig_r = -jnp.where(jnp.diagonal(q1r) >= 0, 1.0,
                                    -1.0).astype(dt)
@@ -807,7 +800,8 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     nothing dense assembled). collective_log receives
     ("kind", k, floats_per_device) for every collective.
     """
-    from numpywren_tpu.compiler.lower import _matmul, _sub_matmul
+    from numpywren_tpu.compiler.lower import (_cholqr_adaptive,
+                                              _matmul, _sub_matmul)
 
     mesh = mesh or make_mesh()
     rows_ax, cols_ax = mesh.axis_names
@@ -830,7 +824,6 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     a_host = _np.asarray(a)
     dt = jnp.asarray(a_host[:1, :1]).dtype
     eye = jnp.eye(t, dtype=dt)
-    u_eps = float(jnp.finfo(jnp.float32).eps)
     clog = collective_log if collective_log is not None else []
 
     # host-side 2-D block-cyclic packing, placed shard by shard (no
@@ -856,13 +849,6 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     packed = jax.make_array_from_single_device_arrays(
         (r, c, n_loc_r, n_loc_c), sharding, shards)
 
-    def shifted_linv(g):
-        floor = 4.0 * u_eps * (n * t) ** 0.5 * jnp.max(
-            jnp.sum(jnp.abs(g), axis=1))
-        l = lax.linalg.cholesky(g + floor * eye, symmetrize_input=True)
-        return l, lax.linalg.triangular_solve(l, eye, left_side=True,
-                                              lower=True)
-
     def psum2(x):
         return lax.psum(lax.psum(x, rows_ax), cols_ax)
 
@@ -885,15 +871,13 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             pcol = lax.dynamic_slice(local, (0, t_k * t), (n_loc_r, t))
             pan = jnp.where(ok_col & alive_r[:, None], pcol,
                             jnp.zeros_like(pcol))
-            g1 = psum2(jnp.matmul(pan.T, pan, precision=precision))
+            # full adaptive chain; real Grams psum'd over BOTH mesh axes
+            # (non-owner columns hold zeros) — see bdfac_1d
+            q, r_mat = _cholqr_adaptive(pan, precision,
+                                        psum_axes=(rows_ax, cols_ax),
+                                        global_m=n - k * t)
             clog.append(("qr_gram", k, t * t))
-            l1, linv1 = shifted_linv(g1)
-            q = jnp.matmul(pan, linv1.T, precision=precision)
-            g2 = psum2(jnp.matmul(q.T, q, precision=precision))
             clog.append(("qr_gram2", k, t * t))
-            l2, linv2 = shifted_linv(g2)
-            q = jnp.matmul(q, linv2.T, precision=precision)
-            r_mat = jnp.matmul(l2.T, l1.T, precision=hp)
             q_top = lax.dynamic_slice(q, (s_k * t, 0), (t, t))
             q1 = psum2(jnp.where(ok_row & ok_col, q_top,
                                  jnp.zeros_like(q_top)))
@@ -950,15 +934,12 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
                 prow = lax.dynamic_slice(local, (s_k * t, 0), (t, n_loc_c))
                 pan_r = jnp.where(ok_row & live_c[None, :], prow,
                                   jnp.zeros_like(prow))
-                g1r = psum2(jnp.matmul(pan_r, pan_r.T, precision=precision))
+                qr_, l_mat = _cholqr_adaptive(
+                    pan_r, precision, rows=True,
+                    psum_axes=(rows_ax, cols_ax),
+                    global_m=(nb - k - 1) * t)
                 clog.append(("lq_gram", k, t * t))
-                l1r, linv1r = shifted_linv(g1r)
-                qr1 = jnp.matmul(linv1r, pan_r, precision=precision)
-                g2r = psum2(jnp.matmul(qr1, qr1.T, precision=precision))
                 clog.append(("lq_gram2", k, t * t))
-                l2r, linv2r = shifted_linv(g2r)
-                qr_ = jnp.matmul(linv2r, qr1, precision=precision)
-                l_mat = jnp.matmul(l1r, l2r, precision=hp)
                 qr_top = lax.dynamic_slice(qr_, (0, t_k1 * t), (t, t))
                 q1r = psum2(jnp.where(ok_row & ok_col1, qr_top,
                                       jnp.zeros_like(qr_top)))
@@ -1082,6 +1063,46 @@ def cholqr2_sharded(a, mesh: Optional[Mesh] = None, *, compute_q: bool = False,
         q2, l2 = one_pass(q1)
         r = jnp.matmul(l2.T, l1.T, precision=precision)
         return q2, r
+
+    q, r = jax.jit(f)(a)
+    return (q, r) if compute_q else r
+
+
+def cholqr3s_sharded(a, mesh: Optional[Mesh] = None, *,
+                     compute_q: bool = False, precision=None):
+    """The ROBUST distributed tall-skinny QR: the full adaptive
+    shifted-CholeskyQR chain (compiler.lower._cholqr_adaptive — the
+    single-chip robust path, breakdown-proof to kappa ~1e8) with its real
+    Grams psum'd over the mesh. Every (b, b) decision — shifted factors,
+    Neumann cleanup, the analytic pass-2 convergence flag, extras-pass
+    trips — is a pure function of the replicated Gram, so all devices run
+    the identical chain; the (m, b) iterate stays row-sharded throughout.
+    Costs exactly cholqr2_sharded's two psums in the well-conditioned
+    case; ill-conditioned inputs pay extra psum'd Gram passes on demand
+    (where plain cholqr2_sharded returns NaN)."""
+    from numpywren_tpu.compiler.lower import _cholqr_adaptive
+
+    mesh = mesh or make_mesh()
+    devs = mesh.devices.reshape(-1)
+    mesh1 = Mesh(devs, ("d",))
+    p = len(devs)
+    m, b = a.shape
+    if m % p:
+        raise ShapeError(f"rows {m} must divide {p} devices")
+    if precision is None:
+        precision = default_precision(jnp.asarray(a).dtype)
+
+    spec = P("d", None)
+    rep = P(None, None)
+    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh1, spec))
+
+    @functools.partial(
+        shard_map, mesh=mesh1, in_specs=(spec,), out_specs=(spec, rep),
+        check_vma=False,
+    )
+    def f(x_loc):
+        return _cholqr_adaptive(x_loc, precision, psum_axes=("d",),
+                                global_m=m)
 
     q, r = jax.jit(f)(a)
     return (q, r) if compute_q else r

@@ -465,3 +465,38 @@ def test_bdfac_2d_compensated_mode(rng):
     s = np.linalg.svd(b.astype(np.float64), compute_uv=False)
     s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
+
+
+def test_cholqr3s_sharded_robust(rng):
+    """The adaptive chain crosses chips: kappa ~1e6 input (where plain
+    distributed CholeskyQR2's unshifted Gram factorization breaks at
+    fp32) factors cleanly through cholqr3s_sharded."""
+    from numpywren_tpu.parallel.fabric import cholqr2_sharded, cholqr3s_sharded
+
+    m, b, p = 2048, 64, 4
+    mesh = make_mesh(jax.devices()[:p], shape=(1, p))
+    u, _ = np.linalg.qr(rng.standard_normal((m, b)))
+    v, _ = np.linalg.qr(rng.standard_normal((b, b)))
+    a = ((u * np.logspace(0, -6, b)) @ v.T).astype(np.float32)
+    q, r_ = cholqr3s_sharded(a, mesh=mesh, compute_q=True)
+    q, r_ = np.asarray(q), np.asarray(r_)
+    assert np.isfinite(q).all()
+    np.testing.assert_allclose(q.T @ q, np.eye(b), atol=1e-3)
+    np.testing.assert_allclose(q @ r_, a, atol=1e-4 * np.abs(a).max() * b)
+    # contrast: the plain 2-pass path loses orthogonality or NaNs here
+    q2 = np.asarray(cholqr2_sharded(a, mesh=mesh, compute_q=True)[0])
+    bad = (not np.isfinite(q2).all()
+           or np.max(np.abs(q2.T @ q2 - np.eye(b))) > 1e-2)
+    assert bad, "expected plain CholeskyQR2 to break at kappa 1e6"
+
+
+def test_cholqr3s_sharded_wellcond_matches(rng):
+    from numpywren_tpu.parallel.fabric import cholqr3s_sharded
+
+    m, b, p = 1024, 32, 8
+    mesh = make_mesh(jax.devices()[:p], shape=(1, p))
+    a = rng.standard_normal((m, b)).astype(np.float32)
+    q, r_ = cholqr3s_sharded(a, mesh=mesh, compute_q=True)
+    q, r_ = np.asarray(q), np.asarray(r_)
+    np.testing.assert_allclose(q.T @ q, np.eye(b), atol=5e-5)
+    np.testing.assert_allclose(q @ r_, a, atol=1e-4 * np.abs(a).max())
