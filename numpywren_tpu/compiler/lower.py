@@ -411,7 +411,8 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
     # takes identical extras-pass trips. global_m then supplies the TRUE
     # operand height for the shift constant (the local shape understates
     # it by the device count).
-    m = global_m or (p.shape[1] if rows else p.shape[0])
+    m = global_m if global_m is not None else (
+        p.shape[1] if rows else p.shape[0])
     eye = jnp.eye(b, dtype=p.dtype)
     u = jnp.finfo(jnp.float32).eps
     shift_c = 4.0 * u * (m * b) ** 0.5

@@ -374,8 +374,7 @@ def cholesky_2d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
     ("<kind>", k, floats_per_device) for every collective emitted — the
     per-step volume contract is asserted in tests.
     """
-    from numpywren_tpu.compiler.lower import (_cholqr_adaptive,
-                                              _matmul, _sub_matmul)
+    from numpywren_tpu.compiler.lower import _matmul, _sub_matmul
 
     mesh = mesh or make_mesh()
     rows_ax, cols_ax = mesh.axis_names
@@ -583,8 +582,9 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
 
     Per sweep step k, exactly THREE O(tile * n)-or-smaller collectives:
 
-      1. QR panel Gram — psum of the (t, t) local Grams (CholeskyQR2 with
-         the always-shifted floor of compiler.lower; both passes' factors
+      1. QR panel Gram — ONE psum of the (t, t) local Grams (the
+         adaptive chain of compiler.lower with psum_axes: pass 2's Gram
+         is analytic, extras psums fire only on breakdown; all factors
          are replicated t x t work). The Yamamoto basis-kernel reflector
          H = I - W S W^T (lower.py _panel_qr_update_cholqr) then needs
       2. w1 = W^T @ trailing — ONE psum of (t, n - c1) partial products
@@ -681,8 +681,9 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             q2d, r_mat = _cholqr_adaptive(
                 pan.reshape(nbl * t, t), precision, psum_axes=("d",),
                 global_m=n - c0)
+            # ONE real-Gram psum in the converged chain (pass 2's Gram is
+            # analytic); data-dependent extras psums are not logged
             clog.append(("qr_gram", k, t * t))
-            clog.append(("qr_gram2", k, t * t))
             q = q2d.reshape(nbl, t, t)
             q1 = psum_masked(q[slot], owner)      # panel top block
             clog.append(("qr_q1", k, t * t))
@@ -777,8 +778,9 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     Per sweep step every collective is O(tile * n / mesh_dim) or
     (tile, tile)-small:
 
-      QR phase (block column k): two (t, t) Gram psums + a (t, t) Q1
-      psum (CholeskyQR2 with the shifted floor, factors replicated);
+      QR phase (block column k): one (t, t) real-Gram psum (the
+      adaptive chain's pass-2 Gram is analytic; extras psums fire only
+      on breakdown) + a (t, t) Q1 psum, factors replicated;
       the Yamamoto W panel — resident on mesh column k%c, row-sharded —
       is broadcast along mesh COLUMNS (O(n*t/r) per device), the
       trailing contraction W^T T is psum'd along mesh ROWS (O(n*t/c)),
@@ -876,8 +878,8 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             q, r_mat = _cholqr_adaptive(pan, precision,
                                         psum_axes=(rows_ax, cols_ax),
                                         global_m=n - k * t)
+            # ONE real-Gram psum in the converged chain (see bdfac_1d)
             clog.append(("qr_gram", k, t * t))
-            clog.append(("qr_gram2", k, t * t))
             q_top = lax.dynamic_slice(q, (s_k * t, 0), (t, t))
             q1 = psum2(jnp.where(ok_row & ok_col, q_top,
                                  jnp.zeros_like(q_top)))
@@ -939,7 +941,6 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
                     psum_axes=(rows_ax, cols_ax),
                     global_m=(nb - k - 1) * t)
                 clog.append(("lq_gram", k, t * t))
-                clog.append(("lq_gram2", k, t * t))
                 qr_top = lax.dynamic_slice(qr_, (0, t_k1 * t), (t, t))
                 q1r = psum2(jnp.where(ok_row & ok_col1, qr_top,
                                       jnp.zeros_like(qr_top)))
@@ -1077,9 +1078,10 @@ def cholqr3s_sharded(a, mesh: Optional[Mesh] = None, *,
     Neumann cleanup, the analytic pass-2 convergence flag, extras-pass
     trips — is a pure function of the replicated Gram, so all devices run
     the identical chain; the (m, b) iterate stays row-sharded throughout.
-    Costs exactly cholqr2_sharded's two psums in the well-conditioned
-    case; ill-conditioned inputs pay extra psum'd Gram passes on demand
-    (where plain cholqr2_sharded returns NaN)."""
+    The well-conditioned case costs ONE psum'd Gram — one collective
+    FEWER than cholqr2_sharded, because pass 2's Gram is the chain's
+    analytic update; ill-conditioned inputs pay extra psum'd Gram passes
+    on demand (where plain cholqr2_sharded returns NaN)."""
     from numpywren_tpu.compiler.lower import _cholqr_adaptive
 
     mesh = mesh or make_mesh()

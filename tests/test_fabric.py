@@ -327,9 +327,10 @@ def test_bdfac_1d_band_structure(rng):
 
 
 def test_bdfac_1d_collective_volume(rng):
-    """Per QR step: two (t,t) Gram psums + one (t,t) Q1 psum + one
-    (t, n-c1) contraction psum; per LQ step one (t, n-c1) broadcast.
-    Nothing bigger — the 1-D volume contract."""
+    """Per QR step: one (t,t) Gram psum (the chain's pass-2 Gram is
+    analytic) + one (t,t) Q1 psum + one (t, n-c1) contraction psum; per
+    LQ step one (t, n-c1) broadcast. Nothing bigger — the 1-D volume
+    contract."""
     from numpywren_tpu.parallel.fabric import bdfac_1d
     from numpywren_tpu.parallel.mesh import make_mesh
 
