@@ -768,8 +768,10 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
 # ---------------------------------------------------------------------------
 
 def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
-             precision=None, pallas: bool = True, return_band: bool = False,
-             collective_log: Optional[list] = None):
+             precision=None, pallas: bool = True, lookahead: bool = True,
+             return_band: bool = False,
+             collective_log: Optional[list] = None,
+             schedule_log: Optional[list] = None):
     """Block bidiagonalization over an (r x c) mesh with 2-D block-cyclic
     tiles — the mesh-SCALABLE form of `bdfac_1d`, whose O(tile * n)
     per-step broadcasts are the 1-D scaling limit (the same structural
@@ -827,6 +829,7 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     dt = jnp.asarray(a_host[:1, :1]).dtype
     eye = jnp.eye(t, dtype=dt)
     clog = collective_log if collective_log is not None else []
+    slog = schedule_log if schedule_log is not None else []
 
     # host-side 2-D block-cyclic packing, placed shard by shard (no
     # full-size single-device staging buffer — see bdfac_1d)
@@ -925,14 +928,36 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
             # stale boundary cols masked in the SMALL operand, so the big
             # update rides the compensated-capable fused subtract
             sw1m = jnp.where(trail_c[None, :], sw1, 0.0)
-            sub = _sub_matmul(local[r0s:, c1s:], my_w[r0s:], sw1m,
-                              precision=precision, pallas=pallas)
-            local = local.at[r0s:, c1s:].set(sub.astype(dt))
+            do_lq = nb - k - 1 >= 2
+            if lookahead and do_lq:
+                # critical path first (the cholesky_2d lookahead applied
+                # two-sidedly): the LQ panel's ONLY input is row block k,
+                # so update that strip alone, emit the LQ chain's Gram
+                # psums + the W_r broadcast, and only THEN the bulk
+                # trailing GEMMs — the collectives have no data
+                # dependence on the bulk, so XLA's async scheduler can
+                # overlap them
+                slog.append(("strip", k))
+                strip = lax.dynamic_slice(local, (s_k * t, c1s),
+                                          (t, n_loc_c - c1s))
+                w_k = lax.dynamic_slice(my_w, (s_k * t, 0), (t, t))
+                strip2 = strip - jnp.matmul(w_k, sw1m, precision=precision)
+                local = jnp.where(
+                    ok_row,
+                    lax.dynamic_update_slice(local, strip2.astype(dt),
+                                             (s_k * t, c1s)),
+                    local)
+            else:
+                slog.append(("qr_bulk", k))
+                sub = _sub_matmul(local[r0s:, c1s:], my_w[r0s:], sw1m,
+                                  precision=precision, pallas=pallas)
+                local = local.at[r0s:, c1s:].set(sub.astype(dt))
             # ---- LQ phase: block row k ----
-            if nb - k - 1 >= 2:
+            if do_lq:
                 t_k1 = jnp.clip((k + 1 - pj) // c, 0, nbc - 1)
                 ok_col1 = pj == ((k + 1) % c)
                 live_c = jnp.repeat((glob_c >= k + 1) & (glob_c < nb), t)
+                slog.append(("lq_panel", k))
                 prow = lax.dynamic_slice(local, (s_k * t, 0), (t, n_loc_c))
                 pan_r = jnp.where(ok_row & live_c[None, :], prow,
                                   jnp.zeros_like(prow))
@@ -957,7 +982,21 @@ def bdfac_2d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
                 my_wr = lax.psum(wr, rows_ax)       # O(n*t/c) per device
                 clog.append(("lq_wrbcast", k, t * n_loc_c))
                 s_row = jnp.linalg.inv(eye - sig_r[:, None] * q1r)
+                if lookahead:
+                    # deferred QR bulk update, EXCLUDING row block k
+                    # (strip-updated above): zero its W rows
+                    slog.append(("qr_bulk", k))
+                    my_w_bulk = jnp.where(
+                        ok_row,
+                        lax.dynamic_update_slice(
+                            my_w, jnp.zeros((t, t), dt), (s_k * t, 0)),
+                        my_w)
+                    sub = _sub_matmul(local[r0s:, c1s:], my_w_bulk[r0s:],
+                                      sw1m, precision=precision,
+                                      pallas=pallas)
+                    local = local.at[r0s:, c1s:].set(sub.astype(dt))
                 # conservative slicing: body rows > k, cols >= k+1
+                slog.append(("lq_body", k))
                 r1s = ((k + 1) // r) * t
                 c1b = ((k + 1) // c) * t
                 body_r = jnp.repeat((glob_r > k) & (glob_r < nb), t)[r1s:]

@@ -501,3 +501,38 @@ def test_cholqr3s_sharded_wellcond_matches(rng):
     q, r_ = np.asarray(q), np.asarray(r_)
     np.testing.assert_allclose(q.T @ q, np.eye(b), atol=5e-5)
     np.testing.assert_allclose(q @ r_, a, atol=1e-4 * np.abs(a).max())
+
+
+@pytest.mark.parametrize("lookahead", [False, True])
+def test_bdfac_2d_lookahead_sigma(lookahead, rng):
+    from numpywren_tpu.parallel.fabric import bdfac_2d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    n, t = 192, 32
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    b = np.asarray(bdfac_2d(a, mesh=mesh, tile=t, lookahead=lookahead))
+    s = np.linalg.svd(b.astype(np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
+
+
+def test_bdfac_2d_lookahead_schedule_order(rng):
+    """With lookahead the LQ panel (its Gram psums + W_r broadcast) is
+    emitted BEFORE the deferred QR bulk update; without it, after."""
+    from numpywren_tpu.parallel.fabric import bdfac_2d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    n, t = 128, 32
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    for look in (False, True):
+        slog = []
+        bdfac_2d(a, mesh=mesh, tile=t, lookahead=look, schedule_log=slog)
+        for k in range(n // t - 2):  # steps with an LQ phase
+            i_pan = slog.index(("lq_panel", k))
+            i_bulk = slog.index(("qr_bulk", k))
+            if look:
+                assert i_pan < i_bulk, (k, slog)
+            else:
+                assert i_bulk < i_pan, (k, slog)
