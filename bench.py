@@ -625,10 +625,43 @@ def main():
     if args.numerics:
         sys.exit(bench_numerics())
 
+    try:
+        _perf_main(args)
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001
+        # the driver's contract is ONE JSON line; a backend outage (e.g.
+        # the axon tunnel's UNAVAILABLE init error, observed mid-round-3)
+        # must record a diagnosable line instead of a bare traceback
+        import traceback
+
+        log(traceback.format_exc())
+        print(json.dumps({
+            "metric": f"{args.alg}_tflops", "value": 0.0,
+            "unit": "TFLOP/s", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}",
+        }), flush=True)
+        sys.exit(1)
+
+
+def _perf_main(args):
     import jax
     import jax.numpy as jnp
 
-    dev = jax.devices()[0]
+    # a down backend can HANG at init (observed: axon tunnel outage) —
+    # bound device discovery so the error path above still emits its line
+    import signal
+
+    def _stuck(signum, frame):
+        raise TimeoutError("backend init exceeded 300 s (tunnel down?)")
+
+    old_h = signal.signal(signal.SIGALRM, _stuck)
+    signal.alarm(300)
+    try:
+        dev = jax.devices()[0]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_h)
     log(f"device: {dev.device_kind} ({dev.platform})")
     on_tpu = dev.platform == "tpu"
 
