@@ -566,8 +566,10 @@ def cholesky_2d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
 # ---------------------------------------------------------------------------
 
 def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
-             precision=None, return_band: bool = False,
-             collective_log: Optional[list] = None):
+             precision=None, lookahead: bool = True,
+             return_band: bool = False,
+             collective_log: Optional[list] = None,
+             schedule_log: Optional[list] = None):
     """Block bidiagonalization (algs.bdfac / compiler.lower.fused_bdfac)
     with hand-scheduled collectives over a 1-D mesh — the multi-chip path
     for the SVD flagship, whose single-chip form cannot even hold the
@@ -641,6 +643,7 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
     hp = jax.lax.Precision.HIGHEST  # replicated t x t algebra
     eye = jnp.eye(t, dtype=dt)
     clog = collective_log if collective_log is not None else []
+    slog = schedule_log if schedule_log is not None else []
 
     spec = P("d", None, None, None)
     sharding = NamedSharding(mesh1, spec)
@@ -708,10 +711,24 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
                                      precision=precision), "d")
             clog.append(("qr_w1", k, t * (n - c1)))
             sw1 = jnp.matmul(st, w1, precision=hp)
-            upd = jnp.einsum("sij,jk->sik", w, sw1, precision=precision)
-            local = local.at[:, :, c1:].add(-upd * alive)
+            do_lq = nb - k - 1 >= 2
+            if lookahead and do_lq:
+                # two-sided lookahead (see bdfac_2d): update ONLY row
+                # block k (the LQ panel's sole input), emit the LQ
+                # broadcast, then the bulk GEMMs — the collective has no
+                # data dependence on the bulk work
+                slog.append(("strip", k))
+                strip = local[slot, :, c1:] - jnp.matmul(
+                    w[slot], sw1, precision=precision)
+                local = jnp.where(
+                    me == owner, local.at[slot, :, c1:].set(strip), local)
+            else:
+                slog.append(("qr_bulk", k))
+                upd = jnp.einsum("sij,jk->sik", w, sw1, precision=precision)
+                local = local.at[:, :, c1:].add(-upd * alive)
             # --- LQ row panel: row block k over cols [c1, n) ---
-            if nb - k - 1 >= 2:
+            if do_lq:
+                slog.append(("lq_panel", k))
                 row_pan = psum_masked(local[slot, :, c1:], owner)
                 clog.append(("lq_rowpan", k, t * (n - c1)))
                 # row-form adaptive chain, fully replicated (the row
@@ -724,6 +741,16 @@ def bdfac_1d(a, mesh: Optional[Mesh] = None, *, tile: int = 256,
                 wr = qr_ * sig_r[:, None]
                 wr = wr.at[:, :t].add(-eye)
                 s_row = jnp.linalg.inv(eye - sig_r[:, None] * q1r)
+                if lookahead:
+                    # deferred bulk QR update, excluding row block k
+                    slog.append(("qr_bulk", k))
+                    w_bulk = w.at[slot].set(
+                        jnp.where(me == owner, jnp.zeros((t, t), dt),
+                                  w[slot]))
+                    upd = jnp.einsum("sij,jk->sik", w_bulk, sw1,
+                                     precision=precision)
+                    local = local.at[:, :, c1:].add(-upd * alive)
+                slog.append(("lq_body", k))
                 body_mask = ((gids > k) & (gids < nb)).astype(dt)[:, None,
                                                                   None]
                 body = local[:, :, c1:] * body_mask

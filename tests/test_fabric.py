@@ -536,3 +536,23 @@ def test_bdfac_2d_lookahead_schedule_order(rng):
                 assert i_pan < i_bulk, (k, slog)
             else:
                 assert i_bulk < i_pan, (k, slog)
+
+
+@pytest.mark.parametrize("lookahead", [False, True])
+def test_bdfac_1d_lookahead(lookahead, rng):
+    from numpywren_tpu.parallel.fabric import bdfac_1d
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    n, t = 160, 32
+    mesh = make_mesh(jax.devices()[:4], shape=(1, 4))
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    slog = []
+    b = np.asarray(bdfac_1d(a, mesh=mesh, tile=t, lookahead=lookahead,
+                            schedule_log=slog))
+    s = np.linalg.svd(b.astype(np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=2e-3 * s_ref[0])
+    for k in range(n // t - 2):
+        i_pan = slog.index(("lq_panel", k))
+        i_bulk = slog.index(("qr_bulk", k))
+        assert (i_pan < i_bulk) == lookahead, (k, slog)
