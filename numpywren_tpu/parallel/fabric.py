@@ -188,26 +188,29 @@ def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
     if precision is None:
         precision = default_precision(jnp.asarray(a).dtype)
 
-    # pack columns block-cyclically: local[slot] = global panel d + slot*p,
-    # stored as full (n, panel) columns (zeros above the diagonal are dead)
-    a = jnp.asarray(a)
-    packed = jnp.stack(
-        [
-            jnp.concatenate(
-                [
-                    (a[:, (d + s * p) * panel : (d + s * p + 1) * panel]
-                     if d + s * p < nb
-                     else jnp.zeros((n, panel), a.dtype))
-                    for s in range(nb_local)
-                ],
-                axis=1,
-            )
-            for d in range(p)
-        ],
-        axis=0,
-    )  # (p, n, nb_local*panel)
+    # pack columns block-cyclically on HOST and place each device's shard
+    # directly (local[slot] = global panel d + slot*p, stored as full
+    # (n, panel) columns — zeros above the diagonal are dead): no
+    # full-size device-0 staging copy, so matrices near one chip's HBM
+    # capacity still distribute (the defect class fixed in bdfac_1d)
+    import numpy as _np
+
+    a_host = _np.asarray(a)
     spec = P("d", None, None)
-    packed = jax.device_put(packed, NamedSharding(mesh1, spec))
+    shards = []
+    for d, dev in enumerate(devs):
+        local = _np.concatenate(
+            [
+                (a_host[:, (d + s * p) * panel : (d + s * p + 1) * panel]
+                 if d + s * p < nb
+                 else _np.zeros((n, panel), a_host.dtype))
+                for s in range(nb_local)
+            ],
+            axis=1,
+        )
+        shards.append(jax.device_put(local[None], dev))
+    packed = jax.make_array_from_single_device_arrays(
+        (p, n, nb_local * panel), NamedSharding(mesh1, spec), shards)
 
     def factor_panel(pan, k):
         """potrf + solve of the full (n, panel) column holding global panel
@@ -390,30 +393,35 @@ def cholesky_2d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
     n_loc_r, n_loc_c = nbr * panel, nbc * panel
     if precision is None:
         precision = default_precision(jnp.asarray(a).dtype)
-    a = jnp.asarray(a)
-    dt = a.dtype
+    import numpy as _np
 
-    # pack 2-D block-cyclic: entry (pi, pj, s, t) = global block
-    # (pi + s*r, pj + t*c), zero-padded past the grid
+    a_host = _np.asarray(a)
+    dt = jnp.asarray(a_host[:1, :1]).dtype
+
+    # pack 2-D block-cyclic on HOST, placing each device's shard directly
+    # (entry (pi, pj, s, t) = global block (pi + s*r, pj + t*c),
+    # zero-padded past the grid): no full-size device-0 staging copy, so
+    # matrices near one chip's HBM capacity still distribute — exactly
+    # the regime the BASELINE multi-chip config targets
     def _blk(i, j):
         if i < nb and j < nb:
-            return a[i * panel:(i + 1) * panel, j * panel:(j + 1) * panel]
-        return jnp.zeros((panel, panel), dt)
+            return a_host[i * panel:(i + 1) * panel,
+                          j * panel:(j + 1) * panel]
+        return _np.zeros((panel, panel), a_host.dtype)
 
-    packed = jnp.stack([
-        jnp.stack([
-            jnp.concatenate([
-                jnp.concatenate([_blk(pi + s * r, pj + t * c)
+    spec = P(rows_ax, cols_ax, None, None)
+    shards = []
+    for pi in range(r):
+        for pj in range(c):
+            local = _np.concatenate([
+                _np.concatenate([_blk(pi + s * r, pj + t * c)
                                  for t in range(nbc)], axis=1)
                 for s in range(nbr)
             ], axis=0)
-            for pj in range(c)
-        ], axis=0)
-        for pi in range(r)
-    ], axis=0)  # (r, c, n_loc_r, n_loc_c)
-
-    spec = P(rows_ax, cols_ax, None, None)
-    packed = jax.device_put(packed, NamedSharding(mesh, spec))
+            shards.append(jax.device_put(local[None, None],
+                                         mesh.devices[pi, pj]))
+    packed = jax.make_array_from_single_device_arrays(
+        (r, c, n_loc_r, n_loc_c), NamedSharding(mesh, spec), shards)
 
     log = schedule_log if schedule_log is not None else []
     clog = collective_log if collective_log is not None else []
