@@ -144,8 +144,8 @@ def summa_syrk(s, pan, mesh: Optional[Mesh] = None, *, precision=None,
 # ---------------------------------------------------------------------------
 
 def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
-                precision=None, lookahead: bool = True,
-                schedule_log: Optional[list] = None) -> jax.Array:
+                precision=None, lookahead: bool = True, gather: str = "device",
+                schedule_log: Optional[list] = None):
     """Right-looking blocked Cholesky with hand-scheduled collectives:
     column super-panels are distributed BLOCK-CYCLICALLY over a 1-D mesh
     (panel k lives on device k mod P — the owner of the critical path
@@ -317,12 +317,21 @@ def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
 
     out_packed = jax.jit(run)(packed)
 
-    # unpack block-cyclic columns back to a flat lower-triangular matrix
-    host = out_packed  # (p, n, nb_local*panel), 2-D sharded is fine to index
+    # unpack block-cyclic columns back to a flat lower-triangular matrix.
+    # gather="host" assembles in host RAM piece by piece — the at-scale
+    # form (a factor near one chip's HBM capacity must not re-materialize
+    # dense on a device); "device" returns a jax array (small inputs).
+    if gather == "host":
+        out_np = _np.empty((n, n), a_host.dtype)
+        for j in range(nb):
+            d, s = j % p, j // p
+            out_np[:, j * panel:(j + 1) * panel] = _np.asarray(
+                out_packed[d, :, s * panel:(s + 1) * panel])
+        return _np.tril(out_np)
     cols = []
     for j in range(nb):
         d, s = j % p, j // p
-        cols.append(host[d, :, s * panel : (s + 1) * panel])
+        cols.append(out_packed[d, :, s * panel : (s + 1) * panel])
     l = jnp.concatenate(cols, axis=1)
     return jnp.tril(l)
 
@@ -333,8 +342,9 @@ def cholesky_1d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
 
 def cholesky_2d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
                 precision=None, pallas: bool = True, lookahead: bool = True,
+                gather: str = "device",
                 schedule_log: Optional[list] = None,
-                collective_log: Optional[list] = None) -> jax.Array:
+                collective_log: Optional[list] = None):
     """Right-looking blocked Cholesky over a (r x c) mesh with 2-D
     block-cyclic tiles and ScaLAPACK-shaped collectives (pdpotrf structure;
     the reference's analog is every task reading its panel blocks from S3,
@@ -556,7 +566,18 @@ def cholesky_2d(a, mesh: Optional[Mesh] = None, *, panel: int = 512,
 
     out = jax.jit(run)(packed)
 
-    # unpack block-cyclic tiles back into a flat lower-triangular matrix
+    # unpack block-cyclic tiles back into a flat lower-triangular matrix;
+    # gather="host" assembles in host RAM tile by tile (see cholesky_1d)
+    if gather == "host":
+        out_np = _np.empty((n, n), a_host.dtype)
+        for i in range(nb):
+            for j in range(i + 1):  # lower triangle only
+                s, t = i // r, j // c
+                out_np[i * panel:(i + 1) * panel,
+                       j * panel:(j + 1) * panel] = _np.asarray(
+                    out[i % r, j % c, s * panel:(s + 1) * panel,
+                        t * panel:(t + 1) * panel])
+        return _np.tril(out_np)
     rows = []
     for i in range(nb):
         row = []

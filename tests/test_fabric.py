@@ -556,3 +556,19 @@ def test_bdfac_1d_lookahead(lookahead, rng):
         i_pan = slog.index(("lq_panel", k))
         i_bulk = slog.index(("qr_bulk", k))
         assert (i_pan < i_bulk) == lookahead, (k, slog)
+
+
+def test_cholesky_gather_host_matches_device(rng):
+    """gather='host' (at-scale assembly in host RAM) equals the device
+    gather for both distributed Cholesky forms."""
+    from numpywren_tpu.matrix_init import random_spd
+    from numpywren_tpu.parallel.fabric import cholesky_1d, cholesky_2d
+
+    a = random_spd(4 * 32, seed=9)
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    for fn, kw in ((cholesky_1d, dict(panel=32)),
+                   (cholesky_2d, dict(panel=32))):
+        l_dev = np.asarray(fn(a, mesh=mesh, **kw))
+        l_host = fn(a, mesh=mesh, gather="host", **kw)
+        assert isinstance(l_host, np.ndarray)
+        np.testing.assert_array_equal(l_dev, l_host)
