@@ -32,6 +32,16 @@ from numpywren_tpu.ops.common import default_precision
 from numpywren_tpu.parallel.mesh import make_mesh
 
 
+def _as_host(x):
+    """Pass device arrays through; keep host arrays HOST-side so
+    device_put shards them per device directly — jnp.asarray first would
+    stage a full copy on the default device (an OOM at sizes near one
+    chip's HBM, the regime the mesh paths exist for)."""
+    import numpy as _np
+
+    return x if isinstance(x, jax.Array) else _np.asarray(x)
+
+
 def broadcast_along(x, axis_name: str, root):
     """One-to-all broadcast along a mesh axis inside shard_map: mask + psum.
     (The S3-read analog: every device 'reads' the root's panel.)"""
@@ -64,8 +74,8 @@ def summa_gemm(a, b, mesh: Optional[Mesh] = None, *, precision=None) -> jax.Arra
         precision = default_precision(jnp.asarray(a).dtype)
 
     spec = P(rows_ax, cols_ax)
-    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
-    b = jax.device_put(jnp.asarray(b), NamedSharding(mesh, spec))
+    a = jax.device_put(_as_host(a), NamedSharding(mesh, spec))
+    b = jax.device_put(_as_host(b), NamedSharding(mesh, spec))
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
@@ -116,8 +126,8 @@ def summa_syrk(s, pan, mesh: Optional[Mesh] = None, *, precision=None,
 
     s_spec = P(rows_ax, cols_ax)
     p_spec = P(rows_ax, None)
-    s = jax.device_put(jnp.asarray(s), NamedSharding(mesh, s_spec))
-    pan = jax.device_put(jnp.asarray(pan), NamedSharding(mesh, p_spec))
+    s = jax.device_put(_as_host(s), NamedSharding(mesh, s_spec))
+    pan = jax.device_put(_as_host(pan), NamedSharding(mesh, p_spec))
 
     from numpywren_tpu.compiler.lower import _sub_matmul
 
@@ -1140,7 +1150,7 @@ def cholqr2_sharded(a, mesh: Optional[Mesh] = None, *, compute_q: bool = False,
 
     spec = P("d", None)
     rep = P(None, None)
-    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh1, spec))
+    a = jax.device_put(_as_host(a), NamedSharding(mesh1, spec))
 
     @functools.partial(
         shard_map, mesh=mesh1, in_specs=(spec,), out_specs=(spec, rep),
@@ -1191,7 +1201,7 @@ def cholqr3s_sharded(a, mesh: Optional[Mesh] = None, *,
 
     spec = P("d", None)
     rep = P(None, None)
-    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh1, spec))
+    a = jax.device_put(_as_host(a), NamedSharding(mesh1, spec))
 
     @functools.partial(
         shard_map, mesh=mesh1, in_specs=(spec,), out_specs=(spec, rep),
@@ -1259,7 +1269,7 @@ def tsqr_butterfly(a, mesh: Optional[Mesh] = None, *, axis: Optional[str] = None
     pow_of_b = q == 1
 
     spec = P(axis, None)
-    a = jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+    a = jax.device_put(_as_host(a), NamedSharding(mesh, spec))
 
     @functools.partial(
         shard_map, mesh=mesh, in_specs=(spec,), out_specs=spec,

@@ -22,6 +22,7 @@ import functools
 from typing import Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -31,7 +32,7 @@ from numpywren_tpu.parallel.mesh import make_mesh, tile_sharding
 
 
 def _put(a, sharding) -> jax.Array:
-    return jax.device_put(jnp.asarray(a), sharding)
+    return jax.device_put(a if isinstance(a, jax.Array) else np.asarray(a), sharding)
 
 
 # ---------------------------------------------------------------------------
