@@ -230,9 +230,15 @@ class TiledMatrix(_TiledBase):
             if fill is None:
                 self._data = None  # allocated lazily on first put
             else:
-                arr = jnp.full(self.padded_shape, fill, dtype=self.dtype)
                 if sharding is not None:
-                    arr = jax.device_put(arr, sharding)
+                    # allocate DIRECTLY with the mesh layout: full-then-
+                    # device_put stages an unsharded copy on the default
+                    # device first (an OOM for matrices near one chip's
+                    # HBM — the sizes a mesh-sharded store exists for)
+                    arr = jnp.full(self.padded_shape, fill,
+                                   dtype=self.dtype, device=sharding)
+                else:
+                    arr = jnp.full(self.padded_shape, fill, dtype=self.dtype)
                 self._data = arr
         elif storage == "host":
             self._tiles: Dict[Idx, np.ndarray] = {}
@@ -398,9 +404,12 @@ class TiledMatrix(_TiledBase):
             for (i, j), blk in self._tiles.items():
                 ti, tj = self.tile
                 pad[i * ti : (i + 1) * ti, j * tj : (j + 1) * tj] = blk
-            arr = jnp.asarray(pad)
             if out.sharding is not None:
-                arr = jax.device_put(arr, out.sharding)
+                # shard the HOST buffer directly (device_put slices numpy
+                # per device); jnp.asarray first would stage it unsharded
+                arr = jax.device_put(pad, out.sharding)
+            else:
+                arr = jnp.asarray(pad)
             out.replace_array(arr, mark_written=False)
             for (i, j) in self._tiles:
                 out._written[i, j] = True
