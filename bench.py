@@ -648,20 +648,27 @@ def _perf_main(args):
     import jax
     import jax.numpy as jnp
 
-    # a down backend can HANG at init (observed: axon tunnel outage) —
-    # bound device discovery so the error path above still emits its line
-    import signal
+    # a down backend HANGS at init inside a blocking C call (observed:
+    # axon tunnel outage — SIGALRM handlers never run because the
+    # interpreter never regains control), so the watchdog is a THREAD
+    # that prints the diagnostic line itself and hard-exits
+    import os as _os
+    import threading
 
-    def _stuck(signum, frame):
-        raise TimeoutError("backend init exceeded 300 s (tunnel down?)")
+    _init_done = threading.Event()
 
-    old_h = signal.signal(signal.SIGALRM, _stuck)
-    signal.alarm(300)
-    try:
-        dev = jax.devices()[0]
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old_h)
+    def _watchdog():
+        if not _init_done.wait(300):
+            print(json.dumps({
+                "metric": f"{args.alg}_tflops", "value": 0.0,
+                "unit": "TFLOP/s", "vs_baseline": 0.0,
+                "error": "backend init exceeded 300 s (tunnel down?)",
+            }), flush=True)
+            _os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    dev = jax.devices()[0]
+    _init_done.set()
     log(f"device: {dev.device_kind} ({dev.platform})")
     on_tpu = dev.platform == "tpu"
 
