@@ -12,8 +12,16 @@ same data movement by every Lambda reading panel blocks from S3 —
 numpywren/binops.py, job_runner.py.)
 
 The Pallas tile kernel is bypassed here (plain XLA dots) because GSPMD
-cannot partition an opaque pallas_call; a shard_map + RDMA SUMMA variant is
-the planned upgrade path (fabric module).
+cannot partition an opaque pallas_call; the shard_map fabric
+(parallel/fabric.py) is the hand-scheduled alternative that keeps the
+Pallas/compensated kernels (summa_syrk, cholesky_2d, bdfac_2d).
+
+There is deliberately NO GSPMD bdfac here: the two-sided sweep's panel
+chains (small Grams, replicated b x b algebra, data-dependent extras
+passes) give GSPMD's propagation nothing good to work with — it either
+replicates the whole iterate or all-gathers per panel. The distributed
+BDFAC lives in the fabric (bdfac_1d / bdfac_2d), where the collective
+schedule is written down explicitly.
 """
 
 from __future__ import annotations
