@@ -30,7 +30,7 @@ def main():
         "cholesky": [4096, 8192, 16384, 32768],
         "gemm": [2048, 4096, 8192, 16384],
         "tsqr": [1 << 18, 1 << 20, 1 << 22],
-        "bdfac": [2048, 4096, 8192],
+        "bdfac": [2048, 4096, 8192, 16384],
     }[args.alg]
 
     results = []
