@@ -768,7 +768,8 @@ def _apply_reflector_right(x, refl, c0: int, precision):
 
 def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
                    dtype=jnp.float32, panel_method: str = None,
-                   accumulate: bool = False) -> Callable:
+                   accumulate: bool = False,
+                   accum_precision=None) -> Callable:
     """Jittable block bidiagonalization over a flat padded array (the fused
     lowering of algs.bdfac): per block column, a tall QR with full-Q
     trailing update (two MXU GEMMs), then a wide LQ (QR of the transpose)
@@ -821,6 +822,12 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
     )
     panel_lq = functools.partial(_panel_lq_update_cholqr, conv_tol=conv_tol,
                                  fast_s=fast_s, small_precision=sp)
+    # accumulator-GEMM precision: the P/Q applies are ~60% of the
+    # with-vectors flops and their roundoff is the recon-error floor
+    # (measured 1.05e-4 Frobenius at HIGH, 768^2/t256 on-chip);
+    # accum_precision=HIGHEST buys ~fp32-true accumulators for +~60%
+    # cost instead of the ~150% of making EVERYTHING HIGHEST
+    ap = accum_precision or precision
 
     def bdfac(a):
         # the live trailing matrix shrinks by one block per step and is
@@ -840,7 +847,7 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
             if accumulate:
                 r, trailing, refl = panel_update(panel, trailing, precision,
                                                  True)
-                p_acc = _apply_reflector_right(p_acc, refl, c0, precision)
+                p_acc = _apply_reflector_right(p_acc, refl, c0, ap)
             else:
                 r, trailing = panel_update(panel, trailing, precision)
             out = _dus(out, r.astype(out.dtype), c0, c0)
@@ -855,7 +862,7 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
                             row_pan, body, precision, True
                         )
                         q_acc = _apply_reflector_right(q_acc, reflr, c1,
-                                                       precision)
+                                                       ap)
                     else:
                         l_blk, body2 = panel_lq(row_pan, body, precision)
                 else:
@@ -866,7 +873,7 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
                             row_pan.T, body.T, precision, True
                         )
                         q_acc = _apply_reflector_right(q_acc, reflr, c1,
-                                                       precision)
+                                                       ap)
                     else:
                         l_t, body_t = panel_update(row_pan.T, body.T,
                                                    precision)
@@ -886,16 +893,17 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
 
 @functools.lru_cache(maxsize=16)
 def _jitted_bdfac(n_pad, tile, precision, dtype, panel_method, donate,
-                  accumulate=False):
+                  accumulate=False, accum_precision=None):
     return jax.jit(fused_bdfac_fn(n_pad, tile, precision=precision,
                                   dtype=dtype, panel_method=panel_method,
-                                  accumulate=accumulate),
+                                  accumulate=accumulate,
+                                  accum_precision=accum_precision),
                    donate_argnums=(0,) if donate else ())
 
 
 def fused_bdfac(a: jax.Array, tile: int, *, precision=None,
                 panel_method: str = None, donate: bool = False,
-                accumulate: bool = False):
+                accumulate: bool = False, accum_precision=None):
     """donate=True lets XLA run the in-place sweeps without the defensive
     input copy (profiled at ~2.4 ms on 8192^2) — pass it when the caller
     owns `a` and will not reuse it. accumulate=True returns (B, P, Q) with
@@ -907,7 +915,7 @@ def fused_bdfac(a: jax.Array, tile: int, *, precision=None,
 
         panel_method = os.environ.get("NPW_BDFAC_PANEL", "cholqr")
     return _jitted_bdfac(a.shape[0], tile, precision, a.dtype, panel_method,
-                         donate, accumulate)(a)
+                         donate, accumulate, accum_precision)(a)
 
 
 # ---------------------------------------------------------------------------

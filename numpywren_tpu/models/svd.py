@@ -409,7 +409,8 @@ def singular_values(x, tile: int = None, finish: str = "band",
     return s[:n]
 
 
-def svd(x, tile: int = 512, panel_method: str = None, precision=None
+def svd(x, tile: int = 512, panel_method: str = None, precision=None,
+        accum_precision="highest"
         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full SVD: (U, s, Vt) with x = U @ diag(s) @ Vt (thin factors for
     rectangular x: U (m, k), Vt (k, n), k = min(m, n)).
@@ -429,11 +430,14 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None
     array path. Rank-deficient squares: the same ||B||_F invariant check
     as `singular_values` reruns with rank-safe Householder panels.
 
-    precision: MXU precision for the sweeps and accumulator GEMMs
-    (default: the framework default — HIGH/bf16x3 on TPU, ~1e-5-grade
-    per-entry vector accuracy; pass jax.lax.Precision.HIGHEST for
-    true-fp32 accumulation at ~2-3x cost when strict fp32-exact vectors
-    are required)."""
+    precision: MXU precision for the sweeps (default: the framework
+    default — HIGH/bf16x3 on TPU). accum_precision: precision for the
+    P/Q accumulator GEMMs only — they carry ~60% of the with-vectors
+    flops and their roundoff is the measured reconstruction floor
+    (~1.05e-4 Frobenius at HIGH, 768^2 on-chip), so the default is
+    "highest" (true-fp32 accumulators at ~+60% cost — far cheaper than
+    making the sweeps HIGHEST too); pass None to run accumulators at
+    `precision`."""
     import jax.numpy as jnp
 
     from numpywren_tpu.compiler.lower import fused_bdfac, fused_tsqr
@@ -472,9 +476,15 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None
         if panel_method is None:
             panel_method = "house"
 
+    import jax
+
+    ap = (jax.lax.Precision.HIGHEST if accum_precision == "highest"
+          else accum_precision)
+
     def run(pm):
         return fused_bdfac(jnp.asarray(xp), tile=tile, panel_method=pm,
-                           donate=True, accumulate=True, precision=precision)
+                           donate=True, accumulate=True, precision=precision,
+                           accum_precision=ap)
 
     bd, p, q = run(panel_method)
     if auto_panel and panel_method != "house":
