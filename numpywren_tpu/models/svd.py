@@ -251,8 +251,10 @@ def singular_values(x, tile: int = None, finish: str = "band",
     pass panel_method explicitly to override either case.
 
     mesh: a jax.sharding.Mesh spanning >1 device routes stage 1 through
-    the distributed reduction (`parallel.fabric.bdfac_1d` — row blocks
-    sharded over the mesh, three O(tile*n) collectives per sweep step):
+    the distributed reduction — `parallel.fabric.bdfac_2d` for genuinely
+    2-D meshes (every collective O(tile*n/mesh_dim) or smaller),
+    `bdfac_1d` for flat ones — fetching only the band blocks back
+    (O(n*tile) bytes; nothing dense is assembled on any device or host):
     the path for inputs that exceed one chip's HBM. Square tile-multiple
     inputs only; the band finish is identical."""
     import jax.numpy as jnp
