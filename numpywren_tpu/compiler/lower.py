@@ -975,16 +975,19 @@ def fused_cholqr3s_fn(compute_q: bool = False, precision=None,
     orthogonality. A = Q R holds EXACTLY by construction in every pass
     (Q := X R^{-1}), so R3 R2 R1 is the R factor regardless of the shift.
 
-    Shift policy: every pass uses the shift-on-breakdown Cholesky
-    (_cholqr_adaptive's branchless pass — shifted by
-    s = 4 u sqrt(m b) ||G||_inf only when the plain factorization of that
-    pass's Gram fails the pivot-floor test). The paper's worst-case
-    constant (11 u m b ||A||_2^2) is calibrated for fp64; at fp32 it
-    over-shifts by orders of magnitude. Measured on the logspace-spectrum
-    family: clean through kappa = 1e8 on-chip (ortho 2.3e-5 at
-    65536 x 256; at 1M x 512 the larger shift needs ~9 shifted passes —
-    see _cholqr_adaptive's max_passes sizing); the Householder tree
-    remains the last-resort fallback.
+    Shift policy (_cholqr_adaptive): pass 1 is ALWAYS shifted,
+    branchlessly — one cholesky of G + 4 u sqrt(m b) ||G||_inf I, positive
+    definite by construction, so there is no pivot test and no lax.cond
+    around the factor. Later passes use the first-order Neumann cleanup
+    factor (pure VPU) once the Gram is within 1e-2 of I, with extra
+    shifted passes behind one lax.cond until converged. The paper's
+    worst-case constant (11 u m b ||A||_2^2) is calibrated for fp64; at
+    fp32 it over-shifts by orders of magnitude, hence the ||G||_inf-scaled
+    constant. Measured on the logspace-spectrum family: clean through
+    kappa = 1e8 on-chip (ortho 2.3e-5 at 65536 x 256; at 1M x 512 the
+    larger shift needs ~9 shifted passes — see _cholqr_adaptive's
+    max_passes sizing); the Householder tree remains the last-resort
+    fallback.
 
     All passes are GEMM + small-Cholesky shaped; pass 3 runs under
     lax.cond only when a shift fired, so the well-conditioned common case

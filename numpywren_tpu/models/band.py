@@ -40,6 +40,30 @@ _CANDIDATES = (
 )
 
 
+def _is_lp64(lib: ctypes.CDLL) -> bool:
+    """Reject ILP64 builds (the ctypes calls below hardcode 32-bit ints;
+    against an 8-byte-integer LAPACK they would corrupt memory, not fail
+    cleanly). Probe via ilaver_ — it writes ONLY integers (no arrays), so
+    the probe itself is safe under either ABI: seed three 8-byte buffers
+    with -1; an LP64 write touches the low 4 bytes (int64 view stays
+    huge/negative on little-endian), an ILP64 write fills all 8 (small
+    positive version numbers)."""
+    try:
+        ilaver = lib.ilaver_
+    except AttributeError:
+        return True  # ancient LAPACK without ilaver: assume LP64 (the norm)
+    bufs = [ctypes.c_int64(-1) for _ in range(3)]
+    try:
+        ilaver(*[ctypes.byref(b) for b in bufs])
+    except Exception:  # noqa: BLE001 — any probe fault: refuse the library
+        return False
+    vals = [b.value for b in bufs]
+    if all(0 <= v < 1 << 16 for v in vals):
+        return False  # full 8-byte writes: ILP64
+    # low-dword small positives under the -1 sentinel high dword = LP64
+    return all((v & 0xFFFFFFFF) < 1 << 16 for v in vals)
+
+
 def _lapack() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
@@ -54,6 +78,8 @@ def _lapack() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(name)
             lib.dgbbrd_  # noqa: B018 — probe the symbols we need
             lib.dbdsdc_
+            if not _is_lp64(lib):
+                continue  # ILP64 build: callers fall back to the GK path
             _LIB = lib
             break
         except (OSError, AttributeError):

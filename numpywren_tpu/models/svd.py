@@ -439,7 +439,15 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
     (~1.05e-4 Frobenius at HIGH, 768^2 on-chip), so the default is
     "highest" (true-fp32 accumulators at ~+60% cost — far cheaper than
     making the sweeps HIGHEST too); pass None to run accumulators at
-    `precision`."""
+    `precision`.
+
+    Caveat (padded + rank-deficient): when n is not a multiple of `tile`
+    the factorization runs on a zero-padded square, and singular vectors
+    belonging to ZERO singular values may have support in the padding
+    coordinates — the cropped U[:n,:n]/Vt[:n,:n] columns for those sigmas
+    are then not guaranteed orthonormal (x = U diag(s) Vt still holds,
+    since s = 0 there). Re-orthonormalize those columns if you need a
+    strictly orthogonal basis of the null space."""
     import jax.numpy as jnp
 
     from numpywren_tpu.compiler.lower import fused_bdfac, fused_tsqr
@@ -448,20 +456,23 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         from numpywren_tpu.utils import get_local_matrix
 
         return svd(get_local_matrix(x), tile=tile, panel_method=panel_method,
-                   precision=precision)
+                   precision=precision,
+                   accum_precision=accum_precision)
     x = np.asarray(x)
     if x.ndim != 2:
         raise ValueError(f"svd expects a matrix, got {x.shape}")
     m, n = x.shape
     if m < n:
         u, s, vt = svd(x.T, tile=tile, panel_method=panel_method,
-                       precision=precision)
+                       precision=precision,
+                   accum_precision=accum_precision)
         return vt.T, s, u.T
     if m > n:
         q, r = fused_tsqr(jnp.asarray(x), tile_rows=m, compute_q=True,
                           method="cholqr3s", precision=precision)
         ur, s, vt = svd(np.asarray(r), tile=tile, panel_method=panel_method,
-                        precision=precision)
+                        precision=precision,
+                   accum_precision=accum_precision)
         from numpywren_tpu.ops.common import default_precision
 
         u = np.asarray(jnp.matmul(q, jnp.asarray(ur),

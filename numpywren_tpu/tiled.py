@@ -448,12 +448,18 @@ class TiledSymmetricMatrix(TiledMatrix):
     fit. A UserWarning steers HBM users there (VERDICT r2 weak #6).
     """
 
+    _hbm_warned = False  # once-per-process steering warning
+
     def __init__(self, key=None, shape=None, tile=(512, 512), dtype=np.float32, storage="host", **kw):
         if shape is None or shape[0] != shape[1]:
             raise ShapeError("symmetric matrix must be square")
         if tile[0] != tile[1]:
             raise ShapeError("symmetric matrix requires square tiles")
-        if storage == "hbm":
+        if storage == "hbm" and not TiledSymmetricMatrix._hbm_warned:
+            # once per process: library-internal construction paths (e.g.
+            # matrix_init.from_array) would otherwise spam end users with a
+            # warning whose stacklevel points inside the library
+            TiledSymmetricMatrix._hbm_warned = True
             import warnings
 
             warnings.warn(
