@@ -13,7 +13,7 @@ device copy), while the host/local path keeps the lazy parent_fn semantics.
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import numpy as np
 
@@ -108,9 +108,6 @@ def _cholesky_trapezoid_bind(X, tile, truncate: int, panel: int):
     upstream:numpywren/matrix.py::BigSymmetricMatrix)."""
     from numpywren_tpu.trapezoid import TiledTrapezoidMatrix, TrapezoidMatrix
 
-    if truncate != 0:
-        raise ShapeError("truncate is not supported on the trapezoid tier; "
-                         "use storage='hbm'")
     if isinstance(X, TiledTrapezoidMatrix):
         s_m = X
         panel = X.trap.panel
@@ -131,6 +128,18 @@ def _cholesky_trapezoid_bind(X, tile, truncate: int, panel: int):
         s_m = TiledTrapezoidMatrix(trap, tile=tile_n, symmetric=True,
                                    key="chol_S")
     g = s_m.grid[0]
+    if truncate:
+        # prefix runs stop at a physical panel boundary (the factorization
+        # is in-place per column block): the factored prefix
+        # (g - truncate) * tile must cover whole panels
+        n_done = (g - truncate) * s_m.tile[0]
+        if not 0 < n_done <= s_m.shape[0] or n_done % s_m.trap.panel != 0:
+            raise ShapeError(
+                f"trapezoid truncate must leave a panel-aligned prefix: "
+                f"(grid {g} - truncate {truncate}) * tile {s_m.tile[0]} = "
+                f"{n_done} is not a multiple of panel {s_m.trap.panel}; "
+                f"choose tile/panel/truncate accordingly"
+            )
     # version 0 of S is the input itself: the lower-triangle blocks exist
     for i in range(g):
         s_m._written[i, : i + 1] = True
@@ -139,7 +148,7 @@ def _cholesky_trapezoid_bind(X, tile, truncate: int, panel: int):
                              key=s_m.key + ":chol_L")
     program = _template("cholesky").bind(
         O=o, S=BoundArg(name="S", matrix=s_m, versioned=True), N=g,
-        truncate=0,
+        truncate=truncate,
     )
     meta = {"input": s_m, "scratch": s_m, "tile": s_m.tile, "grid": g,
             "panel": panel}
@@ -214,8 +223,19 @@ def cholesky_solve(l: _TiledBase, b: np.ndarray) -> np.ndarray:
 # GEMM
 # ---------------------------------------------------------------------------
 
-def gemm(A: MatLike, B: MatLike, tile=None, storage: str = "hbm"):
-    """Blocked GEMM: returns (program, C_matrix, meta) with C = A @ B."""
+def gemm(A: MatLike, B: MatLike, tile=None, storage: str = "hbm",
+         k_chunk: Optional[int] = None):
+    """Blocked GEMM: returns (program, C_matrix, meta) with C = A @ B.
+
+    k_chunk: tiles accumulated serially per chunk before the log-depth
+    chunk-reduce tree (reference binops.py's tasks_per_job chunking +
+    reduce, SURVEY §3.5). Wavefront depth = k_chunk + ceil(log2 K/k_chunk)
+    instead of the serial K; scratch = ceil(K/k_chunk) partial tiles per
+    output tile. Default bounds scratch at <= 8 partials per output
+    (k_chunk = cdiv(K, 8)); k_chunk=1 gives the full log-depth tree,
+    k_chunk=K the zero-scratch serial chain."""
+    from numpywren_tpu.utils import cdiv
+
     tile = _default_tile(A, tile)
     a_t = _as_tiled(A, tile, storage)
     b_t = _as_tiled(B, tile, storage)
@@ -227,15 +247,31 @@ def gemm(A: MatLike, B: MatLike, tile=None, storage: str = "hbm"):
     _, n = b_t.grid
     c_tile = (a_t.tile[0], b_t.tile[1])
     c_shape = (a_t.shape[0], b_t.shape[1])
-    if storage == "hbm":
-        c = TiledMatrix(key="gemm_C", shape=c_shape, tile=c_tile, dtype=a_t.dtype, storage="hbm", fill=0.0)
-    else:
-        c = TiledMatrix(key="gemm_C", shape=c_shape, tile=c_tile, dtype=a_t.dtype, storage="host",
-                        parent_fn=lambda mm, i, j: np.zeros(mm.tile, dtype=mm.dtype))
+    if k_chunk is None:
+        k_chunk = max(1, cdiv(k, 8))
+    q = max(1, min(int(k_chunk), k))
+    nc = cdiv(k, q)
+    depth, live = 0, nc
+    while live > 1:
+        live = cdiv(live, 2)
+        depth += 1
+
+    def new(key, shape):
+        if storage == "hbm":
+            return TiledMatrix(key=key, shape=shape, tile=c_tile, dtype=a_t.dtype,
+                               storage="hbm", fill=0.0)
+        return TiledMatrix(key=key, shape=shape, tile=c_tile, dtype=a_t.dtype,
+                           storage="host",
+                           parent_fn=lambda mm, i, j: np.zeros(mm.tile, dtype=mm.dtype))
+
+    c = new("gemm_C", c_shape)
+    p = new("gemm_P", (m * n * c_tile[0], nc * c_tile[1]))
     program = _template("gemm").bind(
-        A=a_t, B=b_t, C=BoundArg(name="C", matrix=c, versioned=True), M=m, N=n, K=k
+        A=a_t, B=b_t, C=c, P=BoundArg(name="P", matrix=p, versioned=True),
+        M=m, N=n, K=k, NC=nc, Q=q, L=depth,
     )
-    return program, c, {"tile": tile, "grid": (m, n, k)}
+    return program, c, {"tile": tile, "grid": (m, n, k),
+                        "k_chunk": q, "chunks": nc, "tree_depth": depth}
 
 
 # ---------------------------------------------------------------------------

@@ -1179,8 +1179,20 @@ def _run_fused_cholesky(program):
         from numpywren_tpu.trapezoid import cholesky_trapezoid
 
         o_m = program.matrices["O"].matrix
-        l_trap = cholesky_trapezoid(s_ba.matrix.trap)
-        o_m.adopt(l_trap)
+        truncate_t = program.consts.get("truncate", 0)
+        if truncate_t == 0:
+            l_trap = cholesky_trapezoid(s_ba.matrix.trap)
+            o_m.adopt(l_trap)
+        else:
+            # prefix run (reference truncate): LAPACK-style in-place state —
+            # factored panels + updated Schur complement share O's buffers;
+            # only the factored tile columns are marked computed (the bind
+            # step validated panel alignment)
+            g = s_ba.matrix.grid[0]
+            done_tiles = g - truncate_t
+            stop = (done_tiles * s_ba.matrix.tile[0]) // s_ba.matrix.trap.panel
+            l_trap = cholesky_trapezoid(s_ba.matrix.trap, stop_panels=stop)
+            o_m.adopt(l_trap, written_tile_cols=done_tiles)
         s_ba.matrix.free()  # buffers were donated to the factorization
         return
     # out-of-HBM dispatch: a host-tier input too big for the chip streams

@@ -244,9 +244,13 @@ class TiledTrapezoidMatrix(_TiledBase):
         return self.symmetric and bool(self._written[j, i])
 
     # ------------------------------------------------------------ lifecycle
-    def adopt(self, trap: TrapezoidMatrix, written: bool = True):
+    def adopt(self, trap: TrapezoidMatrix, written: bool = True,
+              written_tile_cols: Optional[int] = None):
         """Take ownership of freshly computed column buffers (the fused
-        cholesky_trapezoid commit path)."""
+        cholesky_trapezoid commit path). written_tile_cols marks only the
+        first so-many tile columns as computed (a truncate/prefix run:
+        trailing columns hold the in-place Schur complement but do not
+        "exist" for block_idxs_exist/resume purposes)."""
         if (trap.n, trap.panel) != (self.trap.n, self.trap.panel):
             raise ShapeError(
                 f"adopt geometry mismatch: {(trap.n, trap.panel)} vs "
@@ -255,8 +259,9 @@ class TiledTrapezoidMatrix(_TiledBase):
         self.trap = trap
         if written:
             gm, _ = self.grid
+            jmax = gm if written_tile_cols is None else int(written_tile_cols)
             for i in range(gm):
-                self._written[i, : i + 1] = True
+                self._written[i, : min(i + 1, jmax)] = True
 
     def free(self):
         self.trap.cols = [None] * self.trap.nb
@@ -311,10 +316,17 @@ import functools
 
 @functools.lru_cache(maxsize=16)
 def _trapezoid_chol_fn(n_pad: int, panel: int, nb: int, tile: int,
-                       precision, dtype_name: str, compensated: bool):
+                       precision, dtype_name: str, compensated: bool,
+                       stop_panels: Optional[int] = None):
     """Jitted donated factorization over the column-block tuple (the
     chol_cols schedule of compiler/lower.py operating natively on the
-    trapezoid buffers — no flat array ever exists)."""
+    trapezoid buffers — no flat array ever exists).
+
+    stop_panels < nb runs a PREFIX factorization (the reference's truncate
+    parameter, upstream:numpywren/algs.py cholesky truncate): panels
+    [0, stop_panels) are factored, later panels receive their trailing
+    updates and come back holding the Schur complement — exactly the
+    LAPACK-style in-place state a resume continues from."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -335,9 +347,11 @@ def _trapezoid_chol_fn(n_pad: int, panel: int, nb: int, tile: int,
         b2 = rtrsm(b2, l[h:, h:], w - h)
         return jnp.concatenate([b1, b2], axis=1)
 
+    stop = nb if stop_panels is None else min(int(stop_panels), nb)
+
     def chol(*cols):
         cols = list(cols)
-        for p in range(nb):
+        for p in range(stop):
             colp = cols[p]
             wp = colp.shape[1]
             ld = lax.linalg.cholesky(colp[:wp], symmetrize_input=False)
@@ -360,11 +374,15 @@ def _trapezoid_chol_fn(n_pad: int, panel: int, nb: int, tile: int,
     return jax.jit(chol, donate_argnums=tuple(range(nb)))
 
 
-def cholesky_trapezoid(t: TrapezoidMatrix, *, precision=None) -> TrapezoidMatrix:
+def cholesky_trapezoid(t: TrapezoidMatrix, *, precision=None,
+                       stop_panels: Optional[int] = None) -> TrapezoidMatrix:
     """In-place blocked Cholesky over trapezoid storage: the column buffers
     are DONATED to one jitted program (no flat conversions, no giant
     dynamic-update-slices) — the fastest single-chip path (~10% over the
-    flat-array entry at N=32768; see BENCH.md). CONSUMES `t`'s buffers."""
+    flat-array entry at N=32768; see BENCH.md). CONSUMES `t`'s buffers.
+
+    stop_panels runs a prefix factorization (reference truncate): panels
+    beyond it come back holding the updated Schur complement."""
     from numpywren_tpu.config import default_config
     from numpywren_tpu.ops.common import default_precision
 
@@ -372,7 +390,8 @@ def cholesky_trapezoid(t: TrapezoidMatrix, *, precision=None) -> TrapezoidMatrix
         precision = default_precision(t.dtype)
     tile = min(128, t.panel)  # measured sweet spot (BENCH.md)
     fn = _trapezoid_chol_fn(t.n_pad, t.panel, t.nb, tile, precision,
-                            t.dtype.name, default_config().compensated)
+                            t.dtype.name, default_config().compensated,
+                            stop_panels)
     out_cols = fn(*t.cols)
     t.cols = [None] * t.nb  # buffers were donated
     return TrapezoidMatrix(list(out_cols), t.n, t.panel)
