@@ -1,0 +1,199 @@
+"""Mesh-count scaling study over the virtual CPU mesh (VERDICT r3 missing
+#4 / upstream experiments' role, SURVEY §2: the scripts that produced the
+paper's scaling plots).
+
+Sweeps device counts (default 1/2/4/8) for the distributed fabric paths
+(cholesky_2d, bdfac_2d, summa_gemm, tsqr_butterfly), weak- or
+strong-scaling the problem, and writes ONE CSV artifact per invocation to
+experiments/results/ — a table the next round's review can diff.
+
+Each point runs in a fresh subprocess because the virtual device count is
+fixed at backend init (XLA_FLAGS=--xla_force_host_platform_device_count).
+On this harness the CPU "devices" share one physical core, so wall-clock
+is NOT a parallel-speedup measurement; the artifact's value is the
+schedule shape per device count: residuals (correctness at every mesh
+size), per-device collective volume, collective counts, and local shard
+sizes — the quantities that determine scaling on a real slice.
+
+Usage:
+    python experiments/mesh_scaling.py                       # full sweep
+    python experiments/mesh_scaling.py --algs cholesky_2d --devices 1 4
+    python experiments/mesh_scaling.py --mode strong --n 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS_DIR = os.path.join(REPO, "experiments", "results")
+
+ALGS = ["cholesky_2d", "bdfac_2d", "summa_gemm", "tsqr_butterfly"]
+
+CSV_FIELDS = [
+    "alg", "mode", "n_devices", "mesh", "n", "tile_or_panel", "wall_s",
+    "residual", "collectives", "coll_floats_per_dev", "flops",
+    "mflops_per_s_total", "ok", "error",
+]
+
+
+def _point(alg: str, n_devices: int, n: int, tile: int) -> dict:
+    """Run one (alg, devices, size) point in THIS process (the subprocess
+    entry). Emits one JSON line on stdout."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from numpywren_tpu.parallel import fabric
+    from numpywren_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(0)
+    mesh = make_mesh(jax.devices()[:n_devices])
+    r, c = mesh.devices.shape
+    clog: list = []
+    rec = {"alg": alg, "n_devices": n_devices, "mesh": f"{r}x{c}", "n": n,
+           "tile_or_panel": tile}
+
+    if alg == "cholesky_2d":
+        x = rng.standard_normal((n, n)).astype(np.float32)
+        a = (x @ x.T / n + 2 * np.eye(n)).astype(np.float32)
+        t0 = time.perf_counter()
+        l = np.asarray(fabric.cholesky_2d(a, mesh, panel=tile,
+                                          collective_log=clog))
+        rec["wall_s"] = time.perf_counter() - t0
+        l = np.tril(l)
+        rec["residual"] = float(np.linalg.norm(a - l @ l.T) / np.linalg.norm(a))
+        rec["flops"] = n ** 3 / 3
+        rec["ok"] = rec["residual"] < 1e-4
+    elif alg == "bdfac_2d":
+        a = rng.standard_normal((n, n)).astype(np.float32)
+        t0 = time.perf_counter()
+        band = np.asarray(fabric.bdfac_2d(a, mesh, tile=tile,
+                                          collective_log=clog))
+        rec["wall_s"] = time.perf_counter() - t0
+        s = np.linalg.svd(band.astype(np.float64), compute_uv=False)
+        s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+        err = float(np.max(np.abs(s - s_ref)) / s_ref[0])
+        rec["residual"] = err
+        rec["flops"] = 8 * n ** 3 / 3
+        rec["ok"] = err < 1e-4
+    elif alg == "summa_gemm":
+        a = rng.standard_normal((n, n)).astype(np.float32) * 0.1
+        b = rng.standard_normal((n, n)).astype(np.float32) * 0.1
+        t0 = time.perf_counter()
+        cmat = np.asarray(fabric.summa_gemm(a, b, mesh))
+        rec["wall_s"] = time.perf_counter() - t0
+        ref = a.astype(np.float64) @ b.astype(np.float64)
+        rec["residual"] = float(np.linalg.norm(cmat - ref) / np.linalg.norm(ref))
+        rec["flops"] = 2 * n ** 3
+        rec["ok"] = rec["residual"] < 1e-4
+    elif alg == "tsqr_butterfly":
+        b = tile
+        m = n
+        a = rng.standard_normal((m, b)).astype(np.float32)
+        t0 = time.perf_counter()
+        out = fabric.tsqr_butterfly(a, mesh)
+        rmat = np.asarray(out[1] if isinstance(out, tuple) else out)
+        rec["wall_s"] = time.perf_counter() - t0
+        g = a.T @ a
+        g2 = rmat.T @ rmat
+        rec["residual"] = float(np.linalg.norm(g2 - g) / np.linalg.norm(g))
+        rec["flops"] = 4 * m * b * b
+        rec["ok"] = rec["residual"] < 1e-3
+    else:
+        raise SystemExit(f"unknown alg {alg}")
+
+    rec["collectives"] = len(clog)
+    rec["coll_floats_per_dev"] = int(sum(e[-1] for e in clog)) if clog else 0
+    rec["mflops_per_s_total"] = round(rec["flops"] / max(rec["wall_s"], 1e-9) / 1e6, 1)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--algs", nargs="+", default=ALGS, choices=ALGS)
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--mode", default="weak", choices=["weak", "strong"])
+    p.add_argument("--n", type=int, default=None,
+                   help="base problem size (per device for weak scaling)")
+    p.add_argument("--tile", type=int, default=None)
+    p.add_argument("--out", default=None, help="CSV path (default: timestamped)")
+    p.add_argument("--point", default=None, help=argparse.SUPPRESS)
+    args = p.parse_args()
+
+    if args.point:  # subprocess entry: alg,devices,n,tile
+        alg, nd, n, tile = args.point.split(",")
+        _point(alg, int(nd), int(n), int(tile))
+        return
+
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    out_path = args.out or os.path.join(
+        RESULTS_DIR, f"mesh_scaling_{time.strftime('%Y%m%d_%H%M%S')}.csv")
+
+    rows = []
+    for alg in args.algs:
+        base_n = args.n or {"cholesky_2d": 1024, "bdfac_2d": 512,
+                            "summa_gemm": 1024, "tsqr_butterfly": 1 << 14}[alg]
+        tile = args.tile or {"cholesky_2d": 128, "bdfac_2d": 128,
+                             "summa_gemm": 128, "tsqr_butterfly": 128}[alg]
+        for nd in args.devices:
+            if alg == "summa_gemm" and int(nd ** 0.5) ** 2 != nd:
+                # SUMMA's contract is a square (r x r) mesh; record the
+                # skip so the artifact is explicit about coverage
+                rows.append({"alg": alg, "mode": args.mode, "n_devices": nd,
+                             "ok": True, "error": "skipped: needs square mesh"})
+                continue
+            if args.mode == "weak":
+                # keep per-device data constant: n grows as sqrt(devices)
+                # (2-D shards; tsqr grows rows linearly — 1-D long axis)
+                if alg == "tsqr_butterfly":
+                    n = base_n * nd
+                else:
+                    n = base_n * int(round(nd ** 0.5))
+                n = -(-n // tile) * tile  # align to tile/panel
+            else:
+                n = base_n
+            env = dict(
+                os.environ,
+                JAX_PLATFORMS="cpu",
+                XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
+                           f" --xla_force_host_platform_device_count={nd}"),
+                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+            )
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--point", f"{alg},{nd},{n},{tile}"]
+            r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+            if r.returncode != 0 or not r.stdout.strip():
+                rec = {"alg": alg, "mode": args.mode, "n_devices": nd, "n": n,
+                       "tile_or_panel": tile, "ok": False,
+                       "error": r.stderr.strip()[-300:]}
+            else:
+                rec = json.loads(r.stdout.strip().splitlines()[-1])
+                rec["mode"] = args.mode
+                rec["error"] = ""
+            rows.append(rec)
+            print(json.dumps(rec), flush=True)
+
+    with open(out_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=CSV_FIELDS, extrasaction="ignore")
+        w.writeheader()
+        for rec in rows:
+            w.writerow(rec)
+    print(f"# wrote {out_path} ({len(rows)} points)", file=sys.stderr)
+    bad = [r for r in rows if not r.get("ok")]
+    if bad:
+        print(f"# {len(bad)} FAILED points", file=sys.stderr)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
