@@ -49,13 +49,16 @@ def save_lastgood(out: dict):
 
 def emit_failure(alg: str, error: str):
     """The driver's contract is ONE JSON line. On failure, prefer the
-    last-good measurement with stale markers over a useless 0.0."""
+    last-good measurement with stale markers over a useless 0.0 — but only
+    if it measured the SAME algorithm (replaying cholesky numbers for a
+    failed tsqr run would record a wrong metric)."""
     try:
         with open(LASTGOOD_PATH) as f:
             last = json.load(f)
-        out = {**last, "stale": True, "stale_reason": error}
-        print(json.dumps(out), flush=True)
-        return
+        if str(last.get("metric", "")).startswith(f"{alg}_"):
+            out = {**last, "stale": True, "stale_reason": error}
+            print(json.dumps(out), flush=True)
+            return
     except (OSError, ValueError):
         pass
     print(json.dumps({

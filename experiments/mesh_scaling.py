@@ -154,11 +154,13 @@ def main():
                 continue
             if args.mode == "weak":
                 # keep per-device data constant: n grows as sqrt(devices)
-                # (2-D shards; tsqr grows rows linearly — 1-D long axis)
+                # (2-D shards; tsqr grows rows linearly — 1-D long axis).
+                # Scale n itself, not a rounded integer multiplier (the
+                # nd=2 point would otherwise rerun the nd=1 problem)
                 if alg == "tsqr_butterfly":
                     n = base_n * nd
                 else:
-                    n = base_n * int(round(nd ** 0.5))
+                    n = int(round(base_n * nd ** 0.5))
                 n = -(-n // tile) * tile  # align to tile/panel
             else:
                 n = base_n

@@ -256,16 +256,19 @@ def gemm(A: MatLike, B: MatLike, tile=None, storage: str = "hbm",
         live = cdiv(live, 2)
         depth += 1
 
-    def new(key, shape):
+    def new(key, shape, lazy=False):
         if storage == "hbm":
+            # lazy (fill=None): no device allocation until first use — the
+            # fused gemm runner never touches P, so its (m*n x nc) tile
+            # scratch must not cost HBM on the one-XLA-dot path
             return TiledMatrix(key=key, shape=shape, tile=c_tile, dtype=a_t.dtype,
-                               storage="hbm", fill=0.0)
+                               storage="hbm", fill=None if lazy else 0.0)
         return TiledMatrix(key=key, shape=shape, tile=c_tile, dtype=a_t.dtype,
                            storage="host",
                            parent_fn=lambda mm, i, j: np.zeros(mm.tile, dtype=mm.dtype))
 
     c = new("gemm_C", c_shape)
-    p = new("gemm_P", (m * n * c_tile[0], nc * c_tile[1]))
+    p = new("gemm_P", (m * n * c_tile[0], nc * c_tile[1]), lazy=True)
     program = _template("gemm").bind(
         A=a_t, B=b_t, C=c, P=BoundArg(name="P", matrix=p, versioned=True),
         M=m, N=n, K=k, NC=nc, Q=q, L=depth,

@@ -1234,14 +1234,21 @@ def _run_fused_cholesky(program):
         s.replace_array(jnp.where(mask_cols[None, :], 0.0, l).astype(l.dtype))
 
 
-def _spill_if_over_budget(program, factor: int = 2) -> bool:
+def _spill_if_over_budget(program, factor: int = 2, names=None) -> bool:
     """Host-tier operands whose wholesale promotion would exceed the HBM
     budget run through the streaming SpillTaskExecutor instead of OOMing
     (the cholesky runner has its own dedicated out-of-core path). Returns
-    True when the program was executed that way."""
+    True when the program was executed that way.
+
+    names: the matrices the FUSED runner would actually promote (default:
+    all). Scratch a runner never touches (e.g. gemm's P chunk partials,
+    which only the generic executors read) must not count against the
+    fused path's budget."""
     total = 0
     any_host = False
-    for ba in program.matrices.values():
+    for name, ba in program.matrices.items():
+        if names is not None and name not in names:
+            continue
         m = ba.matrix
         pm, pn = m.padded_shape
         total += pm * pn * m.dtype.itemsize
@@ -1265,12 +1272,17 @@ def _run_fused_bdfac(program):
 
 
 def _run_fused_gemm(program):
-    if _spill_if_over_budget(program):
+    if _spill_if_over_budget(program, names=("A", "B", "C")):
         return
     a = _hbm(program, "A")
     b = _hbm(program, "B")
     c = _hbm(program, "C")
     c.replace_array(fused_gemm(a.array, b.array).astype(c.dtype))
+    # the chunk-partials scratch exists for the generic executors only;
+    # the fused path computes C in one XLA dot and never reads it
+    p = program.matrices.get("P")
+    if p is not None:
+        p.matrix.free()
 
 
 def _run_fused_tsqr(program, compute_q: bool):

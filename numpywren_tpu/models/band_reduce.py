@@ -100,7 +100,7 @@ def _chase_fn(w: int, D: int, p0_blocks: int, n_real_blocks: int, hmax: int):
     return jax.jit(lambda a_pad: lax.fori_loop(0, n_real_blocks, group, a_pad))
 
 
-def band_reduce(bd, ku: int, w: int = 64) -> Tuple[np.ndarray, int]:
+def band_reduce(bd, ku: int, w: int = 32) -> Tuple[np.ndarray, int]:
     """Reduce an upper-banded square matrix to bandwidth <= 2w - 1.
 
     bd: (n, n) array (np or jax) with nonzeros only in diagonals
@@ -110,6 +110,12 @@ def band_reduce(bd, ku: int, w: int = 64) -> Tuple[np.ndarray, int]:
     tail chases die in the padding) whose singular values are
     sigma(bd) plus exact zeros; new_ku = 2w - 1. Callers take the top
     n values of the banded finish.
+
+    Precision: the chase runs in float32 (HIGHEST-precision GEMMs) —
+    its inputs come from the fp32 device BDFAC, so fp64 operands gain
+    nothing downstream. A float64 input IS honored (fp64 chase) when
+    jax x64 is enabled; otherwise it is downcast (jax would silently
+    do so at asarray anyway) — accuracy then floors at ~1e-7 relative.
     """
     bd = np.asarray(bd)
     n = bd.shape[0]
@@ -117,21 +123,25 @@ def band_reduce(bd, ku: int, w: int = 64) -> Tuple[np.ndarray, int]:
         raise ValueError(f"band_reduce expects a square matrix, got {bd.shape}")
     if ku <= 2 * w - 1:
         return bd, ku
+    import jax
     import jax.numpy as jnp
 
+    dtype = (np.float64 if (bd.dtype == np.float64
+                            and jax.config.jax_enable_x64)
+             else np.float32)
     D = -(-ku // w)                 # block bandwidth
     p0 = D                          # leading zero pad (blocks)
     nr = -(-n // w)                 # real block rows
     pad1 = 2 * (D + 2)              # trailing zero pad (blocks)
     m = (p0 + nr + pad1) * w
-    a = np.zeros((m, m), dtype=np.float32)
+    a = np.zeros((m, m), dtype=dtype)
     a[p0 * w : p0 * w + n, p0 * w : p0 * w + n] = bd
     hmax = (p0 + nr + pad1) // D + 1
     out = _chase_fn(w, D, p0, nr, hmax)(jnp.asarray(a))
     return np.asarray(out), 2 * w - 1
 
 
-def band_reduce_sigma_prep(bd, ku: int, w: int = 64):
+def band_reduce_sigma_prep(bd, ku: int, w: int = 32):
     """band_reduce + sanity guard: verifies the reduced matrix really is
     within the promised band (any chase-indexing regression would leak
     nonzeros outside it and silently corrupt sigma). Returns

@@ -70,7 +70,7 @@ def _band_sigma(bd: np.ndarray, max_band: int) -> np.ndarray:
     to bidiagonal grade and fast for narrow bands (ku=32 -> 7.6 s, ku=64
     -> 18 s) but its Givens chasing scales ~ku^1.25 and loses to a dense
     gesdd past ku ~ 256. Wide bands first run the DEVICE band reduction
-    (models.band_reduce: blocked bulge chasing to ku = 2w - 1 = 127,
+    (models.band_reduce: blocked bulge chasing to ku = 2w - 1 = 63,
     O(n^2 d) MXU flops — VERDICT r3 missing #2: this replaced a ~520 s
     dense gesdd at n=8192 with reduce + dgbbrd) with the dense gesdd as
     the fallback when the reduction or LAPACK is unavailable. The
@@ -104,6 +104,27 @@ def _band_sigma(bd: np.ndarray, max_band: int) -> np.ndarray:
         return band_sigma_lapack(bd, ku=max_band)
     except RuntimeError:
         return _gk_band_sigma(bd, max_band=max_band)
+
+
+def _qdwh_svd(a, compute_uv: bool = True):
+    """On-device SVD via jax's pure-JAX QDWH polar + spectral
+    divide-and-conquer eigh (jax._src.tpu.linalg.svd — the implementation
+    jnp.linalg.svd lowers to on TPU). Everything is GEMM/QR-shaped MXU
+    work: no O(n^3) host stage anywhere, which is what unblocks
+    with-VECTORS SVD at n >= 8192 (the host gesdd finish costs ~520 s on
+    this 1-core host; measured CPU-backend accuracy at 512^2 fp32: recon
+    1.6e-6, ortho 1.2e-6 — better than the bdfac pipeline's 1e-5 floor).
+    Raises ImportError when the private jax module moves (callers fall
+    back to the host finish)."""
+    import jax
+    import jax.numpy as jnp
+    from jax._src.tpu.linalg import svd as tpu_svd  # noqa: PLC2701
+
+    import functools
+
+    fn = jax.jit(functools.partial(tpu_svd.svd, full_matrices=False,
+                                   compute_uv=compute_uv))
+    return fn(jnp.asarray(a))
 
 
 def _tighten_corner_blocks(s_full: np.ndarray, d_last: np.ndarray):
@@ -288,8 +309,18 @@ def singular_values(x, tile: int = None, finish: str = "band",
 
     from numpywren_tpu.compiler.lower import fused_bdfac
 
-    if finish not in ("band", "dense"):
+    if finish not in ("band", "dense", "qdwh"):
         raise ValueError(f"unknown finish {finish!r}")
+    if finish == "qdwh" and not hasattr(x, "get_block"):
+        # all-device sigma: QDWH polar + spectral D&C — no bdfac, no host
+        # stage (use on TPU where the MXU eats the O(n^3); the band finish
+        # remains the host-LAPACK-assisted default pending on-chip timing)
+        a = np.asarray(x)
+        if a.ndim != 2:
+            raise ValueError(f"singular_values expects a matrix, got {a.shape}")
+        s = np.asarray(_qdwh_svd(a.astype(np.float32, copy=False),
+                                 compute_uv=False))
+        return np.sort(s)[::-1][: min(a.shape)].astype(np.float64)
     if hasattr(x, "get_block"):
         if mesh is not None and getattr(mesh, "size", 1) > 1:
             raise ValueError(
@@ -443,7 +474,8 @@ def singular_values(x, tile: int = None, finish: str = "band",
 
 
 def svd(x, tile: int = 512, panel_method: str = None, precision=None,
-        accum_precision="highest"
+        accum_precision="highest", method: str = None,
+        uv_finish: str = "host"
         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full SVD: (U, s, Vt) with x = U @ diag(s) @ Vt (thin factors for
     rectangular x: U (m, k), Vt (k, n), k = min(m, n)).
@@ -488,22 +520,39 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
 
         return svd(get_local_matrix(x), tile=tile, panel_method=panel_method,
                    precision=precision,
-                   accum_precision=accum_precision)
+                   accum_precision=accum_precision,
+                   method=method, uv_finish=uv_finish)
     x = np.asarray(x)
     if x.ndim != 2:
         raise ValueError(f"svd expects a matrix, got {x.shape}")
+    if method not in (None, "bdfac", "qdwh"):
+        raise ValueError(f"unknown svd method {method!r}")
+    if method == "qdwh":
+        # all-device full SVD (QDWH polar + spectral D&C eigh): no host
+        # O(n^3) stage — the with-vectors path for n >= 8192, where the
+        # bdfac pipeline's host gesdd finish costs ~520 s (1-core host)
+        a32 = x.astype(np.float32, copy=False)
+        if a32.shape[0] < a32.shape[1]:
+            u, s, vt = svd(a32.T, method="qdwh")
+            return vt.T, s, u.T
+        u, s, vt = map(np.asarray, _qdwh_svd(a32, compute_uv=True))
+        order = np.argsort(s)[::-1]
+        return (u[:, order].astype(x.dtype), s[order].astype(x.dtype),
+                vt[order].astype(x.dtype))
     m, n = x.shape
     if m < n:
         u, s, vt = svd(x.T, tile=tile, panel_method=panel_method,
                        precision=precision,
-                   accum_precision=accum_precision)
+                   accum_precision=accum_precision,
+                   method=method, uv_finish=uv_finish)
         return vt.T, s, u.T
     if m > n:
         q, r = fused_tsqr(jnp.asarray(x), tile_rows=m, compute_q=True,
                           method="cholqr3s", precision=precision)
         ur, s, vt = svd(np.asarray(r), tile=tile, panel_method=panel_method,
                         precision=precision,
-                   accum_precision=accum_precision)
+                   accum_precision=accum_precision,
+                   method=method, uv_finish=uv_finish)
         from numpywren_tpu.ops.common import default_precision
 
         u = np.asarray(jnp.matmul(q, jnp.asarray(ur),
@@ -535,9 +584,21 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         na, nb_ = float(np.linalg.norm(xp)), float(np.linalg.norm(np.asarray(bd)))
         if not np.isfinite(nb_) or abs(nb_ - na) > 1e-3 * max(na, 1e-30):
             bd, p, q = run("house")
-    ub, s, vbt = np.linalg.svd(np.asarray(bd).astype(np.float64))
-    ub = jnp.asarray(ub.astype(x.dtype))
-    vbt = jnp.asarray(vbt.astype(x.dtype))
+    if uv_finish == "device":
+        # SVD of the banded B on DEVICE (QDWH) — with the bdfac transform
+        # accumulators this keeps the whole with-vectors pipeline off the
+        # host (host gesdd on B is O(n^3) scalar flops, ~520 s at 8192)
+        ub, s_dev, vbt = _qdwh_svd(bd, compute_uv=True)
+        order = np.argsort(np.asarray(s_dev))[::-1]
+        s = np.asarray(s_dev)[order].astype(np.float64)
+        ub = jnp.asarray(np.asarray(ub)[:, order])
+        vbt = jnp.asarray(np.asarray(vbt)[order])
+    elif uv_finish == "host":
+        ub, s, vbt = np.linalg.svd(np.asarray(bd).astype(np.float64))
+        ub = jnp.asarray(ub.astype(x.dtype))
+        vbt = jnp.asarray(vbt.astype(x.dtype))
+    else:
+        raise ValueError(f"unknown uv_finish {uv_finish!r}")
     from numpywren_tpu.ops.common import default_precision
 
     prec = precision or default_precision(x.dtype)

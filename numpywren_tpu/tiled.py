@@ -257,7 +257,7 @@ class TiledMatrix(_TiledBase):
             self._cached = np.zeros(self.grid, dtype=bool)
             self._fill = fill
             # staged-but-not-committed tiles: put_block parks tiles here and
-            # ONE donated batched scatter commits them when the flat array
+            # ONE batched scatter commits them when the flat array
             # is actually needed — a per-put dynamic_update_slice over the
             # whole array is O(n^2) traffic PER TILE (VERDICT r3 weak #6:
             # O(g^2 n^2) for a g x g put loop). get_block serves pending
@@ -307,10 +307,12 @@ class TiledMatrix(_TiledBase):
             return self._flat()
 
     def _flush_pending(self):
-        """Commit staged tiles with ONE donated batched scatter (caller
-        holds self._lock). The tile stack is padded to a power-of-two batch
-        (duplicating the last entry — writes are idempotent) so the jitted
-        scatter compiles O(log k) variants instead of one per batch size."""
+        """Commit staged tiles with ONE batched scatter (caller holds
+        self._lock). NOT donated — callers may hold `.array` references
+        from before the flush (see _scatter_tiles). The tile stack is
+        padded to a power-of-two batch (duplicating the last entry —
+        writes are idempotent) so the jitted scatter compiles O(log k)
+        variants instead of one per batch size."""
         if not self._pending:
             return
         jnp = _jnp()

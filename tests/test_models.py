@@ -446,3 +446,53 @@ def test_singular_values_mesh_distributed(rng):
     with pytest.raises(ValueError):
         models.singular_values(rng.standard_normal((190, 190)).astype(
             np.float32), tile=32, mesh=mesh)
+
+
+def test_svd_qdwh_method():
+    """All-device full SVD (method='qdwh': QDWH polar + spectral D&C —
+    no host O(n^3) stage; the with-vectors path for large n)."""
+    import numpy as np
+
+    from numpywren_tpu import models
+
+    rng = np.random.default_rng(31)
+    for shape in [(192, 192), (256, 128), (96, 160)]:
+        x = rng.standard_normal(shape).astype(np.float32)
+        u, s, vt = models.svd(x, method="qdwh")
+        k = min(shape)
+        assert u.shape == (shape[0], k) and vt.shape == (k, shape[1])
+        rec = (u * s) @ vt
+        assert np.linalg.norm(rec - x) / np.linalg.norm(x) < 1e-5
+        assert np.max(np.abs(u.T @ u - np.eye(k))) < 1e-5
+        assert np.max(np.abs(vt @ vt.T - np.eye(k))) < 1e-5
+        s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+        assert np.max(np.abs(s - s_ref)) / s_ref[0] < 1e-5
+
+
+def test_svd_uv_finish_device():
+    """bdfac pipeline with the device QDWH finish on B: vectors never
+    touch the host gesdd."""
+    import numpy as np
+
+    from numpywren_tpu import models
+
+    rng = np.random.default_rng(32)
+    n = 192
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    u, s, vt = models.svd(x, tile=64, uv_finish="device")
+    rec = (u[:, :n] * s) @ vt
+    assert np.linalg.norm(rec - x) / np.linalg.norm(x) < 1e-4
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    assert np.max(np.abs(s - s_ref)) / s_ref[0] < 1e-4
+
+
+def test_singular_values_qdwh_finish():
+    import numpy as np
+
+    from numpywren_tpu import models
+
+    rng = np.random.default_rng(33)
+    x = rng.standard_normal((200, 200)).astype(np.float32)
+    s = models.singular_values(x, finish="qdwh")
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    assert np.max(np.abs(s - s_ref)) / s_ref[0] < 1e-5
