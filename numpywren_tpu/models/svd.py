@@ -504,6 +504,13 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
     making the sweeps HIGHEST too); pass None to run accumulators at
     `precision`.
 
+    method: None/"bdfac" (default) = the two-stage pipeline below;
+    "qdwh" = the all-device QDWH polar + spectral divide-and-conquer SVD
+    (no bdfac, no host stage, any shape; recon ~1.6e-6 at 512^2 fp32 —
+    use on TPU for large n where the host finish dominates). uv_finish:
+    "host" (default, fp64 LAPACK gesdd on B) | "device" (QDWH SVD of B
+    on device — keeps the whole with-vectors pipeline off the host).
+
     Caveat (padded + rank-deficient): when n is not a multiple of `tile`
     the factorization runs on a zero-padded square, and singular vectors
     belonging to ZERO singular values may have support in the padding
