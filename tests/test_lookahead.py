@@ -179,3 +179,41 @@ def test_spill_pipeline_issue_before_compute():
     n_groups = max(g for (k, g) in events if k == "compute") + 1
     for g in range(n_groups - 1):
         assert idx[("prefetch_issue", g + 1)] < idx[("compute", g)], events
+
+
+@pytest.mark.parametrize("policy", ["wavefront", "lookahead"])
+def test_bdfac_through_lookahead_spill(policy):
+    """The heaviest DSL program (bdfac: versioned S with WAR chains,
+    multi-output pairwise kernels) through the pipelined spill executor
+    under both schedule policies — sigma parity proves the group order
+    and prefetch bookkeeping respect every version edge."""
+    from numpywren_tpu import alg_wrappers
+
+    rng = np.random.default_rng(8)
+    n, t = 128, 32
+    x = rng.standard_normal((n, n)).astype(np.float32)
+    prog, b_mat, _ = alg_wrappers.bdfac(x, tile=(t, t), storage="host")
+    ex = SpillTaskExecutor(prog, schedule_policy=policy, pipeline_width=2)
+    assert ex.run() == PS.SUCCESS
+    b = b_mat.numpy()
+    s = np.linalg.svd(b.astype(np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, atol=2e-4 * s_ref[0], rtol=0)
+
+
+@pytest.mark.parametrize("policy", ["wavefront", "lookahead"])
+def test_tsqr_q_through_lookahead_jax(policy):
+    """tsqr_q (tree + downward Z sweep, cdiv bounds, multi-output
+    qr_combine) through JaxTaskExecutor under both policies."""
+    from numpywren_tpu import alg_wrappers
+
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((5 * 64, 32)).astype(np.float32)
+    prog, outs, meta = alg_wrappers.tsqr(x, tile_rows=64, storage="hbm",
+                                         compute_q=True)
+    from numpywren_tpu.runtime.executor import JaxTaskExecutor
+
+    assert JaxTaskExecutor(prog, schedule_policy=policy).run() == PS.SUCCESS
+    q = outs["Q"].numpy()
+    np.testing.assert_allclose(q @ (q.T @ x), x, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(q.T @ q, np.eye(32), atol=1e-4)
