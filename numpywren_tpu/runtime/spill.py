@@ -117,6 +117,7 @@ def out_of_core_cholesky(
     pipeline_width: Optional[int] = None,
     on_event=None,
     mesh=None,
+    stop_panels: Optional[int] = None,
 ) -> TiledMatrix:
     """Left-looking blocked Cholesky of a host-tier SPD TiledMatrix.
 
@@ -159,6 +160,13 @@ def out_of_core_cholesky(
     solves the sub-diagonal rows locally. The reference's analog is its
     unlimited S3-side capacity with per-task block reads
     (upstream:numpywren/matrix.py get_block).
+
+    stop_panels: factor only the first so-many super-panels (the
+    reference's truncate prefix-run parameter at panel granularity,
+    upstream:numpywren/algs.py cholesky truncate) — the checkpoint
+    manifest then records the prefix and a later call with the same
+    checkpoint_dir and a larger (or absent) stop_panels CONTINUES the
+    factorization where it stopped.
     """
     import concurrent.futures
 
@@ -208,6 +216,8 @@ def out_of_core_cholesky(
 
     ckpt = SpillCheckpoint(checkpoint_dir)
     n_panels = cdiv(g, panel_tiles)
+    if stop_panels is not None:
+        n_panels = min(n_panels, max(0, int(stop_panels)))
     start_panel = ckpt.completed(
         expect_meta={"n": a.shape[0], "tile": t, "panel_tiles": panel_tiles}
     )

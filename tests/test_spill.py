@@ -350,3 +350,24 @@ def test_ooc_cholesky_mesh_resume(tmp_path):
     ln = np.tril(l.numpy())
     ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
     np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_ooc_stop_panels_prefix_then_continue(tmp_path):
+    """stop_panels prefix run + continuation from the same checkpoint
+    completes to the full factor (reference truncate + resume contract)."""
+    import scipy.linalg
+
+    n, tile = 256, 32
+    a = random_spd(n, seed=29)
+    ck = str(tmp_path / "ck")
+    at = shard_matrix(a, tile=(tile, tile), storage="host")
+    l1 = out_of_core_cholesky(at, panel_tiles=2, checkpoint_dir=ck,
+                              stop_panels=2)
+    # prefix state: only the first 2 super-panels (tile cols 0-3) exist
+    assert l1.block_exists(3, 3)
+    assert not l1.block_exists(5, 5)
+    at2 = shard_matrix(a, tile=(tile, tile), storage="host")
+    l2 = out_of_core_cholesky(at2, panel_tiles=2, checkpoint_dir=ck)
+    ln = np.tril(l2.numpy())
+    ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
+    np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
