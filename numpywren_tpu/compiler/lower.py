@@ -356,6 +356,16 @@ def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None):
                             small_precision=small_precision)
 
 
+# Perf-ablation hook (experiments/onchip_r04b.py): tokens in this set stub
+# parts of the panel chain with shape-preserving fakes to measure the
+# GEMM/VPU floor. "factor" fakes the pass-1 cholesky+trisolve AND pins the
+# chain's convergence flags (so the extras while_loop stays zero-trip and
+# the pass-2 cond takes the cleanup branch — the same control flow as a
+# converged real run). NEVER set outside ablation experiments: numerics are
+# wrong by construction.
+_ABLATE = frozenset()
+
+
 def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
                      conv_tol: float = 1e-4, small_precision=None,
                      psum_axes=None, global_m: int = None):
@@ -470,6 +480,9 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
                     return potrf_inv_pallas(0.5 * (gs + gs.T))
                 except Exception:
                     pass
+        if "factor" in _ABLATE:  # perf ablation: keep the VPU shift work,
+            # drop only the two custom calls (see _ABLATE)
+            return jnp.tril(gs), eye + 1e-24 * gs
         l = lax.linalg.cholesky(gs, symmetrize_input=True)
         linv = lax.linalg.triangular_solve(l, eye, left_side=True,
                                            lower=True)
@@ -543,6 +556,9 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
     g2 = small_gram_update(g1, linv1)
     e2 = g2 - eye
     dev2 = jnp.max(jnp.abs(e2))
+    if "factor" in _ABLATE:  # pin the converged-run control flow: cleanup
+        # branch on pass 2, zero-trip extras while (see _ABLATE)
+        dev2 = jnp.float32(0.0)
     # the analytic G2 is NOT a real Gram: its fp roundoff
     # (~u ||L1^{-1}||^2 ||G1||) can push a near-singular G2 indefinite and
     # NaN the chol (observed at kappa=1e6, b=16) — shift past that bound
