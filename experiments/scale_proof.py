@@ -68,6 +68,10 @@ def main():
     p.add_argument("--devices", type=int, default=8,
                    help="virtual mesh size (0 = single default device)")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--cache-bytes", type=int, default=0,
+                   help="device LRU for factored-L strips (bytes); on-chip "
+                   "runs should size this near HBM minus the panel working "
+                   "set so prior panels serve strip reads without H2D")
     p.add_argument("--verify-rows", type=int, default=2,
                    help="sampled sub-diagonal row blocks to verify")
     p.add_argument("--cpu", action="store_true",
@@ -115,6 +119,7 @@ def main():
     l = out_of_core_cholesky(
         a, panel_tiles=args.panel_tiles, mesh=mesh,
         checkpoint_dir=args.checkpoint_dir, stop_panels=stop,
+        cache_bytes=args.cache_bytes,
     )
     wall = time.time() - t0
     panels_done = stop or n_panels_total
