@@ -752,17 +752,28 @@ def _perf_main(args):
         tflops, per, extra = fn(n, tile, dtype, precision, args.syrk_depth)
     except Exception as e:  # noqa: BLE001
         # a failed headline leg (e.g. a compile-service fault at the
-        # largest size) must still record SOMETHING: retry once at the
-        # fallback size so the driver's one-JSON-line contract holds
+        # largest size) must still record SOMETHING. Compile-helper
+        # SIGKILLs are usually transient (memory pressure on the remote
+        # compile service — observed 2026-08-18 at n=65536), so retry the
+        # headline itself once after a pause before shrinking.
         fallback = {"cholesky": 32768, "gemm": 4096, "tsqr": 1 << 19,
                     "bdfac": 4096}.get(args.alg)
         if not (on_tpu and args.n is None and fallback and fallback < n):
             raise
         log(f"headline n={n} failed ({type(e).__name__}: {e}); "
-            f"falling back to n={fallback}")
-        n = fallback
-        tflops, per, extra = fn(n, tile, dtype, precision, args.syrk_depth)
-        extra = {**extra, "fallback_from": "headline_failure"}
+            f"retrying headline once in 30s")
+        time.sleep(30)
+        try:
+            tflops, per, extra = fn(n, tile, dtype, precision,
+                                    args.syrk_depth)
+            extra = {**extra, "headline_attempts": 2}
+        except Exception as e2:  # noqa: BLE001
+            log(f"headline retry failed ({type(e2).__name__}: {e2}); "
+                f"falling back to n={fallback}")
+            n = fallback
+            tflops, per, extra = fn(n, tile, dtype, precision,
+                                    args.syrk_depth)
+            extra = {**extra, "fallback_from": "headline_failure"}
 
     frac_peak = tflops / peak
     vs_baseline = frac_peak / args.target_frac

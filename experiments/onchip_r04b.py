@@ -223,6 +223,15 @@ def stage_ablate(fast):
 
     base = timed_bdfac("baseline")
 
+    # GEMM-only panel algebra (NPW_GEMM_INV: trtri by nilpotent doubling,
+    # Yamamoto S by Newton-Schulz — 1 custom call/panel instead of 5).
+    # Real numerics (unlike the stubs below); read at trace time.
+    os.environ["NPW_GEMM_INV"] = "1"
+    try:
+        gemminv = timed_bdfac("gemminv")
+    finally:
+        os.environ.pop("NPW_GEMM_INV", None)
+
     # stub ONLY _small_inv_t (the Yamamoto S: chol + 2 trisolves) — its
     # share of the panel latency. -w1.T IS the exact s_inv (not S^T), so
     # numerics are wrong but shapes/conditioning match.
@@ -242,7 +251,8 @@ def stage_ablate(fast):
 
     log_result("ablate_summary", n=n,
                custom_call_ms=round((base - floor) * 1e3, 2),
-               small_inv_share_ms=round((base - nos) * 1e3, 2))
+               small_inv_share_ms=round((base - nos) * 1e3, 2),
+               gemminv_delta_ms=round((base - gemminv) * 1e3, 2))
 
 
 def stage_numerics(fast):
@@ -300,6 +310,44 @@ def stage_qdwh8k(fast):
                    warm_s=round(warm, 2), s0=float(np.max(s)))
 
 
+def stage_band(fast):
+    """band_reduce_packed timing sweep over w — tests the hypothesis that
+    the 80 s chase at (8192, 512, w=32) is per-hop latency-bound (hops
+    ~ n^2 (D-1)/(w D), so w=64 cuts them ~4x), and that the packed-band
+    D2H (2.5 MB vs 389 MB) removes the fetch that crashed the worker."""
+    import numpy as np
+
+    from numpywren_tpu.models.band_reduce import band_reduce_packed
+
+    rng = np.random.default_rng(7)
+    configs = ([(2048, 512, 32), (2048, 512, 64)] if fast else
+               [(4096, 512, 32), (4096, 512, 64), (8192, 512, 64)])
+    for n, d, w in configs:
+        a = np.triu(rng.standard_normal((n, n)).astype(np.float32))
+        a -= np.triu(a, d + 1)
+        s_ref = (np.linalg.svd(a.astype(np.float64), compute_uv=False)
+                 if n <= 4096 else None)
+        t0 = time.perf_counter()
+        ab, ku2, m = band_reduce_packed(a, ku=d, w=w)
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ab, ku2, m = band_reduce_packed(a, ku=d, w=w)
+        warm = time.perf_counter() - t0
+        err = None
+        if s_ref is not None:
+            from numpywren_tpu.models.band import (
+                band_sigma_packed, lapack_available,
+            )
+
+            if lapack_available():
+                s = band_sigma_packed(ab.astype(np.float64), m, m, 0,
+                                      ku2)[:n]
+                err = float(np.max(np.abs(s - s_ref)) / s_ref[0])
+        log_result("band", n=n, d=d, w=w, ku2=ku2,
+                   cold_s=round(cold, 2), warm_s=round(warm, 2),
+                   sigma_err=err)
+
+
 def stage_sigma_e2e(fast):
     import numpy as np
 
@@ -319,7 +367,7 @@ def stage_sigma_e2e(fast):
 STAGES = {
     "peak": stage_peak, "micro": stage_micro, "ablate": stage_ablate,
     "numerics": stage_numerics, "qdwh": stage_qdwh, "qdwh8k": stage_qdwh8k,
-    "sigma_e2e": stage_sigma_e2e,
+    "band": stage_band, "sigma_e2e": stage_sigma_e2e,
 }
 
 

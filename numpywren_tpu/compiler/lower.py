@@ -484,6 +484,9 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
             # drop only the two custom calls (see _ABLATE)
             return jnp.tril(gs), eye + 1e-24 * gs
         l = lax.linalg.cholesky(gs, symmetrize_input=True)
+        if _gemm_only_inv():  # NPW_GEMM_INV: GEMM-only trtri, one custom
+            # call (the chol) per factoring pass instead of two
+            return l, _trtri_gemm(l, hp)
         linv = lax.linalg.triangular_solve(l, eye, left_side=True,
                                            lower=True)
         return l, linv
@@ -613,6 +616,71 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
     return out[0], out[1]
 
 
+def _gemm_only_inv() -> bool:
+    """Opt-in (NPW_GEMM_INV=1, read at TRACE time like NPW_PALLAS_FACTOR —
+    set it before the first fused_bdfac call of the process) replacement of
+    the panel chain's non-chol custom calls with GEMM-only algebra:
+    triangular inverses by exact nilpotent doubling (_trtri_gemm) and the
+    Yamamoto S factor by Newton-Schulz (_ns_inv). Motivation: on-chip
+    profiling (experiments/onchip_r04b, 2026-08-18) shows each XLA
+    custom call inside a fused program costs ~0.1-0.45 ms nearly flat in
+    size, while a 512^3 GEMM is ~5-10 us of MXU time — at 8192/512 fused
+    bdfac runs ~150 factor-adjacent custom calls (5 per panel x ~30
+    panels), a double-digit-ms latency floor that pure-GEMM algebra
+    removes (VERDICT r3 #1)."""
+    import os
+
+    return os.environ.get("NPW_GEMM_INV", "0") == "1"
+
+
+def _trtri_gemm(l, precision):
+    """Exact lower-triangular inverse by nilpotent Neumann doubling — GEMMs
+    only, no triangular_solve custom call. Write L = D (I + N) with
+    D = diag(L) and N strictly lower (nilpotent of index b):
+    (I + N)^{-1} = sum_{k<b} (-N)^k, computed by log2(b) doubling steps
+    S_{m+1} = S_m + P_m S_m, P_{m+1} = P_m^2 with P_1 = N^2 — exact in
+    exact arithmetic after ceil(log2(b)) steps because N^b = 0. One
+    Newton-polish step X <- X + X (I - L X) then quadratically kills the
+    fp rounding of the doubling chain (growth is bounded: the chain's
+    shifted Grams keep kappa(L) <= ~sqrt(1/shift_rel) ~ 33, so
+    ||N^k|| decays). 2 ceil(log2(b)) + 2 b^3-GEMMs total — ~0.09 ms of
+    MXU work at b=512 vs a ~0.3-0.8 ms triangular_solve custom call."""
+    b = l.shape[0]
+    eye = jnp.eye(b, dtype=l.dtype)
+    dinv = 1.0 / jnp.diagonal(l)
+    n_ = l * dinv[:, None] - eye          # strictly lower, nilpotent
+    s = eye - n_                           # sum_{k<2}
+    p = jnp.matmul(n_, n_, precision=precision)   # (-N)^2
+    steps = max((b - 1).bit_length() - 1, 0)      # 2^(1+steps) >= b
+    for _ in range(steps):
+        s = s + jnp.matmul(p, s, precision=precision)
+        p = jnp.matmul(p, p, precision=precision)
+    linv = s * dinv[None, :]               # (I+N)^{-1} D^{-1}
+    resid = eye - jnp.matmul(l, linv, precision=precision)
+    return linv + jnp.matmul(linv, resid, precision=precision)
+
+
+def _ns_inv(a, precision, iters: int = 20):
+    """Newton-Schulz inverse of a (b, b) matrix — GEMMs only, no LU/chol
+    custom calls: X_{k+1} = X_k (2 I - A X_k), X_0 = A^T / (||A||_1
+    ||A||_inf). Quadratic once ||I - A X|| < 1; the X_0 scaling makes the
+    initial residual spectrum 1 - sigma_i^2/(||A||_1 ||A||_inf) — the
+    norm product overshoots sigma_max^2 by up to b, but the overshoot
+    only costs log2 extra doublings. Measured iteration demand (err
+    < 1e-6): 19 at b=512 cond=25, 15 at cond=5 — default 20 covers the
+    Yamamoto W1 regime (cond(W1) <= ~25 measured;
+    _panel_qr_update_cholqr docstring) with one to spare."""
+    b = a.shape[0]
+    two_eye = 2.0 * jnp.eye(b, dtype=a.dtype)
+    scale = 1.0 / (jnp.max(jnp.sum(jnp.abs(a), axis=0))
+                   * jnp.max(jnp.sum(jnp.abs(a), axis=1)))
+    x = a.T * scale
+    for _ in range(iters):
+        x = jnp.matmul(x, two_eye - jnp.matmul(a, x, precision=precision),
+                       precision=precision)
+    return x
+
+
 def _small_inv_t(w1, precision):
     """inv(s_inv) = S for the Yamamoto factor via the EXACT identity
     s_inv = -W1^T (W1 = the reflector's leading b x b block: check
@@ -624,7 +692,14 @@ def _small_inv_t(w1, precision):
     ~7.5 ms/step of fused bdfac@8192/512, vs ~14 us for a cholesky call.
     Conditioning: cond(C) = cond(W1)^2 — fine for the tall panels this
     serves (cond(W1) <= ~25 measured); the accumulate (singular-vector)
-    path keeps the exact LU inverse."""
+    path keeps the exact LU inverse.
+
+    NPW_GEMM_INV=1 replaces the chol + two solves (THREE custom calls)
+    with Newton-Schulz directly on W1 (see _ns_inv) — same cond(W1)^2
+    sensitivity through the squared singular-value spectrum, zero custom
+    calls. -W1^{-1} = S^T identically (S^{-1} = -W1^T)."""
+    if _gemm_only_inv():
+        return -_ns_inv(w1, precision)
     c = jnp.matmul(w1.T, w1, precision=precision)
     lc = lax.linalg.cholesky(c, symmetrize_input=True)
     y = lax.linalg.triangular_solve(lc, w1.T, left_side=True, lower=True)

@@ -37,7 +37,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["band_reduce", "band_reduce_sigma_prep"]
+__all__ = ["band_reduce", "band_reduce_packed", "band_reduce_sigma_prep"]
 
 
 @functools.lru_cache(maxsize=8)
@@ -100,6 +100,81 @@ def _chase_fn(w: int, D: int, p0_blocks: int, n_real_blocks: int, hmax: int):
     return jax.jit(lambda a_pad: lax.fori_loop(0, n_real_blocks, group, a_pad))
 
 
+def _reduce_on_device(bd, ku: int, w: int):
+    """Shared core: pad ON DEVICE (no (m, m) host alloc, H2D is just the
+    input) and run the jitted chase. Returns (out_device, m, dtype)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n = bd.shape[0]
+    dtype = (np.float64 if (np.dtype(bd.dtype) == np.float64
+                            and jax.config.jax_enable_x64)
+             else np.float32)
+    D = -(-ku // w)                 # block bandwidth
+    p0 = D                          # leading zero pad (blocks)
+    nr = -(-n // w)                 # real block rows
+    pad1 = 2 * (D + 2)              # trailing zero pad (blocks)
+    m = (p0 + nr + pad1) * w
+    a = lax.dynamic_update_slice(
+        jnp.zeros((m, m), dtype=dtype),
+        jnp.asarray(bd, dtype=dtype), (p0 * w, p0 * w))
+    hmax = (p0 + nr + pad1) // D + 1
+    return _chase_fn(w, D, p0, nr, hmax)(a), m, dtype
+
+
+@functools.lru_cache(maxsize=8)
+def _pack_fn(m: int, ku2: int):
+    """Jitted on-device packed-band extraction + leak reduction:
+    AB[r, j] = a[j - ku2 + r, j] (LAPACK dgbbrd storage, kl=0) plus the
+    max |below-diagonal| / |beyond-band| leak scalars — so the host fetch
+    is O(ku2 m) + 2 scalars instead of the full (m, m) operand (389 MB at
+    m=9856: ~20 s through a ~19 MB/s tunnel, and the D2H that crashed the
+    2026-08-18 on-chip session)."""
+    import jax
+    import jax.numpy as jnp
+
+    def pack(a):
+        cols = jnp.arange(m)[None, :]
+        rows = cols - (ku2 - jnp.arange(ku2 + 1)[:, None])
+        ab = jnp.where(rows >= 0, a[jnp.clip(rows, 0, m - 1), cols], 0.0)
+        leak = jnp.maximum(jnp.abs(jnp.tril(a, -1)).max(),
+                           jnp.abs(jnp.triu(a, ku2 + 1)).max())
+        return ab, leak, jnp.abs(a).max()
+
+    return jax.jit(pack)
+
+
+def band_reduce_packed(bd, ku: int, w: int = 32):
+    """band_reduce returning the LAPACK packed band directly, everything
+    heavy staying on device: (ab, ku2, m) with ab a host (ku2+1, m) array
+    in dgbbrd storage (AB[ku2 + i - j, j] = A[i, j], kl = 0), ku2 =
+    2w - 1, and sigma(A_packed) = sigma(bd) plus exact zeros. Includes
+    the band-leak sanity guard of band_reduce_sigma_prep (computed on
+    device, fetched as scalars). Raises FloatingPointError on leak."""
+    n = np.shape(bd)[0]
+    if ku <= 2 * w - 1:
+        # no reduction needed: pack the input as-is (host-side, cheap)
+        a = np.asarray(bd)
+        ab = np.zeros((ku + 1, n), dtype=a.dtype)
+        for r in range(ku + 1):
+            d = ku - r
+            ab[r, d:] = np.diagonal(a, offset=d)
+        return ab, ku, n
+    out, m, _ = _reduce_on_device(bd, ku, w)
+    ku2 = 2 * w - 1
+    ab_dev, leak_dev, scale_dev = _pack_fn(m, ku2)(out)
+    leak = float(leak_dev)
+    scale = float(scale_dev) or 1.0
+    if leak > 1e-4 * scale:
+        raise FloatingPointError(
+            f"band_reduce leaked {leak:.2e} (rel {leak / scale:.2e}) "
+            f"outside band {ku2} at m={m} — chase indexing bug; falling "
+            "back is the caller's job"
+        )
+    return np.asarray(ab_dev), ku2, m
+
+
 def band_reduce(bd, ku: int, w: int = 32) -> Tuple[np.ndarray, int]:
     """Reduce an upper-banded square matrix to bandwidth <= 2w - 1.
 
@@ -123,21 +198,9 @@ def band_reduce(bd, ku: int, w: int = 32) -> Tuple[np.ndarray, int]:
         raise ValueError(f"band_reduce expects a square matrix, got {bd.shape}")
     if ku <= 2 * w - 1:
         return bd, ku
-    import jax
-    import jax.numpy as jnp
-
-    dtype = (np.float64 if (bd.dtype == np.float64
-                            and jax.config.jax_enable_x64)
-             else np.float32)
-    D = -(-ku // w)                 # block bandwidth
-    p0 = D                          # leading zero pad (blocks)
-    nr = -(-n // w)                 # real block rows
-    pad1 = 2 * (D + 2)              # trailing zero pad (blocks)
-    m = (p0 + nr + pad1) * w
-    a = np.zeros((m, m), dtype=dtype)
-    a[p0 * w : p0 * w + n, p0 * w : p0 * w + n] = bd
-    hmax = (p0 + nr + pad1) // D + 1
-    out = _chase_fn(w, D, p0, nr, hmax)(jnp.asarray(a))
+    out, _, _ = _reduce_on_device(bd, ku, w)
+    # NOTE: this full-matrix materialization is O(m^2) D2H — prefer
+    # band_reduce_packed on a slow-fetch device (the sigma path does)
     return np.asarray(out), 2 * w - 1
 
 

@@ -85,14 +85,19 @@ def _band_sigma(bd: np.ndarray, max_band: int) -> np.ndarray:
             try:
                 import os
 
+                from numpywren_tpu.models.band import band_sigma_packed
                 from numpywren_tpu.models.band_reduce import (
-                    band_reduce_sigma_prep,
+                    band_reduce_packed,
                 )
 
                 w = int(os.environ.get("NPW_BAND_REDUCE_W", "32"))
-                red, ku2, _ = band_reduce_sigma_prep(bd, max_band, w=w)
+                # packed path: the band is extracted ON DEVICE and only
+                # (ku2+1, m) floats cross to the host — the full-matrix
+                # D2H was ~390 MB at n=8192 (20 s through the tunnel and
+                # the fetch that crashed the 2026-08-18 TPU worker)
+                ab, ku2, m = band_reduce_packed(bd, max_band, w=w)
                 if ku2 < max_band:
-                    s = band_sigma_lapack(red, ku=ku2)
+                    s = band_sigma_packed(ab, m, m, 0, ku2)
                     return s[:n]
             except (FloatingPointError, RuntimeError) as e:
                 import logging

@@ -60,7 +60,7 @@ def test_singular_values_routes_wide_band_through_reduce():
     n = 1024
     x = rng.standard_normal((n, n)).astype(np.float32)
     calls = {"reduce": 0}
-    real_prep = br.band_reduce_sigma_prep
+    real_prep = br.band_reduce_packed
 
     def spy(bd, ku, w=64):
         calls["reduce"] += 1
@@ -68,8 +68,44 @@ def test_singular_values_routes_wide_band_through_reduce():
 
     # svd._band_sigma imports the symbol at call time, so patching the
     # module attribute intercepts the routing decision
-    with mock.patch.object(br, "band_reduce_sigma_prep", side_effect=spy):
+    with mock.patch.object(br, "band_reduce_packed", side_effect=spy):
         s = models.singular_values(x, tile=512)  # band 512 > 256
     assert calls["reduce"] == 1, "wide band did not route through band_reduce"
     s_ref = np.linalg.svd(x.astype(np.float64), compute_uv=False)
     assert np.max(np.abs(s - s_ref)) / s_ref[0] < 1e-4
+
+
+def test_band_reduce_packed_matches_full():
+    """Packed on-device extraction == packing the full reduced matrix on
+    host, and its sigma finish matches the dense reference."""
+    from numpywren_tpu.models.band_reduce import band_reduce_packed
+
+    n, d, w = 256, 64, 16
+    a = _band_mat(n, d, seed=3)
+    red, ku2 = band_reduce(a, ku=d, w=w)
+    ab, ku2p, m = band_reduce_packed(a, ku=d, w=w)
+    assert ku2p == ku2 and m == red.shape[0]
+    ref = np.zeros((ku2 + 1, m), dtype=red.dtype)
+    for r in range(ku2 + 1):
+        off = ku2 - r
+        ref[r, off:] = np.diagonal(red, offset=off)
+    np.testing.assert_allclose(ab, ref, rtol=0, atol=1e-6)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    from numpywren_tpu.models.band import band_sigma_packed, lapack_available
+
+    if lapack_available():
+        s = band_sigma_packed(ab.astype(np.float64), m, m, 0, ku2)[:n]
+        np.testing.assert_allclose(s, s_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_band_reduce_packed_narrow_noop():
+    """ku <= 2w-1: packed path packs the input unchanged."""
+    from numpywren_tpu.models.band_reduce import band_reduce_packed
+
+    n, d = 128, 16
+    a = _band_mat(n, d, seed=4)
+    ab, ku2, m = band_reduce_packed(a, ku=d, w=16)
+    assert ku2 == d and m == n
+    for r in range(ku2 + 1):
+        off = ku2 - r
+        np.testing.assert_array_equal(ab[r, off:], np.diagonal(a, offset=off))

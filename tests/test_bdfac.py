@@ -116,3 +116,59 @@ def test_fused_bdfac_array_level(rng):
     sv_in = np.linalg.svd(x.astype(np.float64), compute_uv=False)
     sv_out = np.linalg.svd(bd.astype(np.float64), compute_uv=False)
     np.testing.assert_allclose(sv_out, sv_in, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# GEMM-only inverse primitives (NPW_GEMM_INV custom-call elimination)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("b", [16, 48, 64, 512])
+def test_trtri_gemm_matches_inverse(rng, b):
+    """Nilpotent-doubling triangular inverse == exact inverse for the
+    conditioning regime the shifted chain guarantees (kappa(L) <= ~33)."""
+    from numpywren_tpu.compiler.lower import _trtri_gemm
+    import jax
+    import jax.numpy as jnp
+
+    # build an L like a shifted-Gram chol factor: SPD with bounded cond
+    q, _ = np.linalg.qr(rng.standard_normal((b, b)))
+    s = np.geomspace(1.0, 1e-3, b)  # cond(G)=1e3 -> cond(L)~33
+    g = (q * s) @ q.T
+    l = np.linalg.cholesky(g + 1e-9 * np.eye(b)).astype(np.float32)
+    linv = np.asarray(_trtri_gemm(jnp.asarray(l),
+                                  jax.lax.Precision.HIGHEST))
+    err = np.abs(linv @ l - np.eye(b)).max()
+    assert err < 5e-5, err
+
+
+def test_ns_inv_matches_inverse(rng):
+    """Newton-Schulz inverse converges for cond <= ~25 (the W1 regime)."""
+    from numpywren_tpu.compiler.lower import _ns_inv
+    import jax
+    import jax.numpy as jnp
+
+    b = 96
+    u, _ = np.linalg.qr(rng.standard_normal((b, b)))
+    v, _ = np.linalg.qr(rng.standard_normal((b, b)))
+    s = np.geomspace(2.0, 2.0 / 25.0, b)  # cond = 25
+    a = ((u * s) @ v.T).astype(np.float32)
+    x = np.asarray(_ns_inv(jnp.asarray(a), jax.lax.Precision.HIGHEST))
+    err = np.abs(x @ a - np.eye(b)).max()
+    assert err < 5e-5, err
+
+
+def test_fused_bdfac_gemm_inv_parity(rng, monkeypatch):
+    """NPW_GEMM_INV=1 (GEMM-only panel algebra) preserves singular values
+    to the same bar as the custom-call path. Distinct (n, tile) signature:
+    the flag is read at trace time and _jitted_bdfac caches by shape."""
+    from numpywren_tpu.compiler import lower
+    import jax.numpy as jnp
+
+    monkeypatch.setenv("NPW_GEMM_INV", "1")
+    x = rng.standard_normal((192, 192)).astype(np.float32)
+    bd = np.asarray(lower.fused_bdfac(jnp.asarray(x), tile=48))
+    sv_in = np.linalg.svd(x.astype(np.float64), compute_uv=False)
+    sv_out = np.linalg.svd(bd.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(sv_out, sv_in, rtol=1e-3, atol=1e-3)
+    # bidiagonal block structure intact (band <= 2*tile - 1)
+    assert np.abs(np.tril(bd, -1)).max() < 1e-3 * np.abs(bd).max()
