@@ -237,7 +237,8 @@ def stage_ablate(fast):
     # numerics are wrong but shapes/conditioning match.
     real_sinv = lower._small_inv_t
     try:
-        lower._small_inv_t = lambda w1, precision: -w1.T * 1.000001
+        lower._small_inv_t = (
+            lambda w1, precision, gemm_inv=None: -w1.T * 1.000001)
         nos = timed_bdfac("nosmallinv")
 
         # additionally fake the pass-1 chol+trisolve (control flow pinned

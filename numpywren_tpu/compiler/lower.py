@@ -343,7 +343,8 @@ def _panel_qr_update(panel, trailing, precision, want_reflector=False):
     return r, trailing
 
 
-def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None):
+def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None,
+              gemm_inv=None):
     """Thin QR of tall `p` by shifted CholeskyQR3 (same scheme as
     fused_cholqr3s_fn, inlined for composition inside larger jits): the
     shifted first pass cannot break down — plain CholeskyQR(2) panels DO
@@ -353,7 +354,8 @@ def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None):
     orthogonality, which the Yamamoto reflector (and hence sigma
     preservation) depends on. See _cholqr_adaptive for the pass policy."""
     return _cholqr_adaptive(p, precision, rows=False, conv_tol=conv_tol,
-                            small_precision=small_precision)
+                            small_precision=small_precision,
+                            gemm_inv=gemm_inv)
 
 
 # Perf-ablation hook (experiments/onchip_r04b.py): tokens in this set stub
@@ -368,7 +370,7 @@ _ABLATE = frozenset()
 
 def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
                      conv_tol: float = 1e-4, small_precision=None,
-                     psum_axes=None, global_m: int = None):
+                     psum_axes=None, global_m: int = None, gemm_inv=None):
     """Adaptive CholeskyQR chain: thin QR (rows=False: p = q r, r upper
     b x b) or thin LQ (rows=True: p = l q, l lower b x b) of p by repeated
     Gram-Cholesky passes with shift-on-breakdown.
@@ -442,6 +444,9 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
     # roundoff; that floor is the working-precision orthogonality grade
     # the chain targets anyway)
     conv_gate = min(2.0 * float(conv_tol) ** 0.5, 1e-1)
+    if gemm_inv is None:  # None = the NPW_GEMM_INV env default (callers
+        # that key jit caches on it pass an explicit bool)
+        gemm_inv = _gemm_only_inv()
 
     def gram_dev(x):
         if rows:
@@ -484,8 +489,8 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
             # drop only the two custom calls (see _ABLATE)
             return jnp.tril(gs), eye + 1e-24 * gs
         l = lax.linalg.cholesky(gs, symmetrize_input=True)
-        if _gemm_only_inv():  # NPW_GEMM_INV: GEMM-only trtri, one custom
-            # call (the chol) per factoring pass instead of two
+        if gemm_inv:  # GEMM-only trtri, one custom call (the chol) per
+            # factoring pass instead of two
             return l, _trtri_gemm(l, hp)
         linv = lax.linalg.triangular_solve(l, eye, left_side=True,
                                            lower=True)
@@ -681,7 +686,7 @@ def _ns_inv(a, precision, iters: int = 20):
     return x
 
 
-def _small_inv_t(w1, precision):
+def _small_inv_t(w1, precision, gemm_inv=None):
     """inv(s_inv) = S for the Yamamoto factor via the EXACT identity
     s_inv = -W1^T (W1 = the reflector's leading b x b block: check
     -(Q1 Sigma - I)^T = I - Sigma Q1^T), computed by Cholesky normal
@@ -698,7 +703,7 @@ def _small_inv_t(w1, precision):
     with Newton-Schulz directly on W1 (see _ns_inv) — same cond(W1)^2
     sensitivity through the squared singular-value spectrum, zero custom
     calls. -W1^{-1} = S^T identically (S^{-1} = -W1^T)."""
-    if _gemm_only_inv():
+    if gemm_inv if gemm_inv is not None else _gemm_only_inv():
         return -_ns_inv(w1, precision)
     c = jnp.matmul(w1.T, w1, precision=precision)
     lc = lax.linalg.cholesky(c, symmetrize_input=True)
@@ -710,7 +715,7 @@ def _small_inv_t(w1, precision):
 
 def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
                             conv_tol: float = 1e-4, fast_s: bool = False,
-                            small_precision=None):
+                            small_precision=None, gemm_inv=None):
     """GEMM-only replacement for _panel_qr_update (VERDICT r1 #4): thin Q,R
     from shifted CholeskyQR3, then the FULL orthogonal factor as a Yamamoto
     basis-kernel reflector
@@ -731,7 +736,7 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
     just the dense orthogonal factor."""
     b = panel.shape[1]
     q, r = _cholqr3s(panel, precision, conv_tol=conv_tol,
-                     small_precision=small_precision)
+                     small_precision=small_precision, gemm_inv=gemm_inv)
     if panel.shape[0] == b:
         sigma_sq = -jnp.where(jnp.diagonal(q[:b]) >= 0, 1.0,
                               -1.0).astype(q.dtype)
@@ -754,7 +759,8 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
         # GEMM speed, on every panel. fast_s replaces the LU inverse with
         # the chol-normal-equations form (see _small_inv_t).
         if fast_s:
-            st = _small_inv_t(w[:b], small_precision or precision)  # S^T
+            st = _small_inv_t(w[:b], small_precision or precision,
+                              gemm_inv=gemm_inv)  # S^T
         else:
             st = jnp.linalg.inv(s_inv).T
         w1 = jnp.matmul(w.T, trailing, precision=precision)      # (b, c)
@@ -770,19 +776,20 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
 
 
 def _cholqr3s_rows(p, precision, conv_tol: float = 1e-4,
-                   small_precision=None):
+                   small_precision=None, gemm_inv=None):
     """Row-form shifted CholeskyQR3: thin LQ of wide `p` (b x m) as
     p = l @ qr with l lower-triangular (b x b) and qr row-orthonormal
     (b x m). The exact mirror of _cholqr3s with the Gram taken as p p^T
     and the triangular solve from the left — no transpose of `p` is ever
     materialized (the MXU absorbs the transposition inside the GEMM)."""
     return _cholqr_adaptive(p, precision, rows=True, conv_tol=conv_tol,
-                            small_precision=small_precision)
+                            small_precision=small_precision,
+                            gemm_inv=gemm_inv)
 
 
 def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
                             conv_tol: float = 1e-4, fast_s: bool = False,
-                            small_precision=None):
+                            small_precision=None, gemm_inv=None):
     """Right-side mirror of _panel_qr_update_cholqr for the LQ sweep:
     LQ-factor the wide row `panel` (b x m) and apply the full orthogonal
     factor from the RIGHT to `body` (rows x m), entirely in row
@@ -797,7 +804,8 @@ def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
     W = Wr^T rides the GEMM's transpose flag. Returns (l Sigma, body')."""
     b = panel.shape[0]
     qr_, l = _cholqr3s_rows(panel, precision, conv_tol=conv_tol,
-                            small_precision=small_precision)
+                            small_precision=small_precision,
+                            gemm_inv=gemm_inv)
     q1 = qr_[:, :b]  # (b, b): Q1^T in the column-form derivation
     d = jnp.diagonal(q1)
     sigma = -jnp.where(d >= 0, 1.0, -1.0).astype(qr_.dtype)
@@ -811,7 +819,8 @@ def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
         # S_row = -wr1^{-1} = (C^{-1} wr1^T)... = _small_inv_t(wr1^T)^T
         if fast_s:
             s_row = _small_inv_t(wr[:, :b].T,
-                                 small_precision or precision).T  # = S_row
+                                 small_precision or precision,
+                                 gemm_inv=gemm_inv).T  # = S_row
         else:
             s_row = jnp.linalg.inv(s_inv)
         u1 = jnp.matmul(body, wr.T, precision=precision)   # (rows, b) = B W
@@ -860,7 +869,7 @@ def _apply_reflector_right(x, refl, c0: int, precision):
 def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
                    dtype=jnp.float32, panel_method: str = None,
                    accumulate: bool = False,
-                   accum_precision=None) -> Callable:
+                   accum_precision=None, gemm_inv: bool = None) -> Callable:
     """Jittable block bidiagonalization over a flat padded array (the fused
     lowering of algs.bdfac): per block column, a tall QR with full-Q
     trailing update (two MXU GEMMs), then a wide LQ (QR of the transpose)
@@ -906,13 +915,17 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
     # are pure per-panel overhead (hlo_stats: ~2 ms/panel at tile 1024).
     # The vector path keeps HIGHEST smalls: accumulator consistency.
     sp = jax.lax.Precision.HIGHEST if accumulate else jax.lax.Precision.HIGH
+    if gemm_inv is None:
+        gemm_inv = _gemm_only_inv()
     panel_update = (
         functools.partial(_panel_qr_update_cholqr, conv_tol=conv_tol,
-                          fast_s=fast_s, small_precision=sp)
+                          fast_s=fast_s, small_precision=sp,
+                          gemm_inv=gemm_inv)
         if panel_method == "cholqr" else _panel_qr_update
     )
     panel_lq = functools.partial(_panel_lq_update_cholqr, conv_tol=conv_tol,
-                                 fast_s=fast_s, small_precision=sp)
+                                 fast_s=fast_s, small_precision=sp,
+                                 gemm_inv=gemm_inv)
     # accumulator-GEMM precision: the P/Q applies are ~60% of the
     # with-vectors flops and their roundoff is the recon-error floor
     # (measured 1.05e-4 Frobenius at HIGH, 768^2/t256 on-chip);
@@ -984,29 +997,36 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
 
 @functools.lru_cache(maxsize=16)
 def _jitted_bdfac(n_pad, tile, precision, dtype, panel_method, donate,
-                  accumulate=False, accum_precision=None):
+                  accumulate=False, accum_precision=None, gemm_inv=None):
     return jax.jit(fused_bdfac_fn(n_pad, tile, precision=precision,
                                   dtype=dtype, panel_method=panel_method,
                                   accumulate=accumulate,
-                                  accum_precision=accum_precision),
+                                  accum_precision=accum_precision,
+                                  gemm_inv=gemm_inv),
                    donate_argnums=(0,) if donate else ())
 
 
 def fused_bdfac(a: jax.Array, tile: int, *, precision=None,
                 panel_method: str = None, donate: bool = False,
-                accumulate: bool = False, accum_precision=None):
+                accumulate: bool = False, accum_precision=None,
+                gemm_inv: bool = None):
     """donate=True lets XLA run the in-place sweeps without the defensive
     input copy (profiled at ~2.4 ms on 8192^2) — pass it when the caller
     owns `a` and will not reuse it. accumulate=True returns (B, P, Q) with
-    A = P B Q^T (the singular-vector path)."""
+    A = P B Q^T (the singular-vector path). gemm_inv=True swaps the panel
+    chain's non-chol custom calls for GEMM-only algebra (see
+    _gemm_only_inv); None = the NPW_GEMM_INV env default — resolved HERE
+    so the jit cache keys on the choice."""
     if precision is None:
         precision = default_precision(a.dtype)
     if panel_method is None:
         import os
 
         panel_method = os.environ.get("NPW_BDFAC_PANEL", "cholqr")
+    if gemm_inv is None:
+        gemm_inv = _gemm_only_inv()
     return _jitted_bdfac(a.shape[0], tile, precision, a.dtype, panel_method,
-                         donate, accumulate, accum_precision)(a)
+                         donate, accumulate, accum_precision, gemm_inv)(a)
 
 
 # ---------------------------------------------------------------------------
