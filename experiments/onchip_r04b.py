@@ -256,6 +256,43 @@ def stage_ablate(fast):
                gemminv_delta_ms=round((base - gemminv) * 1e3, 2))
 
 
+def stage_tilesweep(fast):
+    """Real bdfac (sigma path, current defaults) across tile widths. The
+    r3 'tile 1024 -> 44%' measurement predates the HIGH-smalls change
+    (HIGHEST b x b algebra cost ~2 ms/panel at 1024); with half the
+    panels, the ~15.7 ms custom-call bill (ablate stage) halves too, so
+    1024 may now beat 512 and clear the >= 60%-of-peak bar."""
+    import bench
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+
+    from numpywren_tpu.compiler import lower
+
+    n = 4096 if fast else 8192
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32))
+    for tile in ([512, 1024] if fast else [512, 1024, 2048]):
+        lower._jitted_bdfac.cache_clear()
+        body = lower.fused_bdfac_fn(n, tile, precision=lax.Precision.HIGH)
+        freshen = jax.jit(lambda a, t: a + t)
+        step = jax.jit(body, donate_argnums=(0,))
+
+        def chain(k):
+            t = jnp.zeros((), jnp.float32)
+            for _ in range(k):
+                bd = step(freshen(x, t))
+                t = (bd[0, 0] * 1e-30).astype(jnp.float32)
+                del bd
+            bench.fetch_scalar(t)
+
+        per = bench.slope_time(chain, 2, 6)
+        tf = 8 * n**3 / 3 / per / 1e12
+        log_result("tilesweep", n=n, tile=tile, seconds=round(per, 4),
+                   tflops=round(tf, 1))
+
+
 def stage_numerics(fast):
     import bench
 
@@ -393,13 +430,14 @@ def stage_sigma_e2e(fast):
     t0 = time.perf_counter()
     s = models.singular_values(x)  # default band path (TPU chase + dgbbrd)
     wall = time.perf_counter() - t0
-    ok = bool(np.isfinite(s).all()) and s[0] > 0
+    ok = bool(np.isfinite(s).all()) and bool(s[0] > 0)
     log_result("sigma_e2e", n=n, wall_s=round(wall, 1), ok=ok,
                s0=float(s[0]), s_last=float(s[-1]))
 
 
 STAGES = {
     "peak": stage_peak, "micro": stage_micro, "ablate": stage_ablate,
+    "tilesweep": stage_tilesweep,
     "numerics": stage_numerics, "qdwh": stage_qdwh, "qdwh8k": stage_qdwh8k,
     "band": stage_band, "spill": stage_spill, "sigma_e2e": stage_sigma_e2e,
 }

@@ -90,7 +90,13 @@ def _band_sigma(bd: np.ndarray, max_band: int) -> np.ndarray:
                     band_reduce_packed,
                 )
 
-                w = int(os.environ.get("NPW_BAND_REDUCE_W", "32"))
+                # w=64 default from the on-chip sweep (onchip_r04b
+                # 2026-08-19, n=8192 d=512): the chase is per-hop
+                # latency-bound, so quartering the hop count beats the
+                # narrower final band — chase 13.7 s + dgbbrd(ku=127)
+                # ~42 s vs 87 s + dgbbrd(ku=63) ~18 s at w=32; accuracy
+                # also improved (4096: 1.1e-6 vs 2.7e-6 max sigma err)
+                w = int(os.environ.get("NPW_BAND_REDUCE_W", "64"))
                 # packed path: the band is extracted ON DEVICE and only
                 # (ku2+1, m) floats cross to the host — the full-matrix
                 # D2H was ~390 MB at n=8192 (20 s through the tunnel and
