@@ -707,10 +707,19 @@ def _small_inv_t(w1, precision, gemm_inv=None):
         return -_ns_inv(w1, precision)
     c = jnp.matmul(w1.T, w1, precision=precision)
     lc = lax.linalg.cholesky(c, symmetrize_input=True)
-    y = lax.linalg.triangular_solve(lc, w1.T, left_side=True, lower=True)
-    m = lax.linalg.triangular_solve(lc, y, left_side=True, lower=True,
-                                    transpose_a=True)
-    return -m  # = -C^{-1} W1^T = S^T  (S = -W1 C^{-1})
+    # ONE trisolve (identity RHS -> explicit L^{-1}) + two b x b GEMMs
+    # instead of two b x b-RHS trisolves: custom calls inside fused
+    # programs cost ~0.1 ms nearly flat in size (on-chip ablation,
+    # experiments/onchip_r04b 2026-08-19: the 3-call _small_inv_t is
+    # 5.8 ms of the 45.6 ms bdfac@8192/512) while a 512^3 GEMM is ~10 us,
+    # so trading one call for two GEMMs saves ~0.1 ms per panel. Same
+    # normal-equations conditioning; GEMM roundoff (bf16x3 ~4e-6 rel at
+    # HIGH) is far inside the sigma path's 1e-4 bar.
+    cinv = lax.linalg.triangular_solve(lc, jnp.eye(w1.shape[0],
+                                                   dtype=w1.dtype),
+                                       left_side=True, lower=True)
+    y = jnp.matmul(cinv, w1.T, precision=precision)
+    return -jnp.matmul(cinv.T, y, precision=precision)  # = -C^{-1} W1^T = S^T
 
 
 def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
