@@ -517,8 +517,14 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
 
     method: None/"bdfac" (default) = the two-stage pipeline below;
     "qdwh" = the all-device QDWH polar + spectral divide-and-conquer SVD
-    (no bdfac, no host stage, any shape; recon ~1.6e-6 at 512^2 fp32 —
-    use on TPU for large n where the host finish dominates). uv_finish:
+    (no bdfac, no host stage, any shape; recon ~1.6e-6 at 512^2 fp32).
+    Measured caveat (2026-08-19, TPU v5e via the axon tunnel): jax's
+    spectral D&C eigh is flat-latency-bound there — n=2048 with vectors
+    took 140-155 s warm — so "qdwh" only pays off where the runtime's
+    eigh is latency-sane. For large n where the FULL-spectrum host
+    finish dominates (~520 s gesdd at 8192 on a 1-core host) and only
+    the leading part of the spectrum is needed, `randomized_svd` is the
+    practical route: rank-k factors at device GEMM speed. uv_finish:
     "host" (default, fp64 LAPACK gesdd on B) | "device" (QDWH SVD of B
     on device — keeps the whole with-vectors pipeline off the host).
 
