@@ -74,6 +74,10 @@ def main():
                    "set so prior panels serve strip reads without H2D")
     p.add_argument("--verify-rows", type=int, default=2,
                    help="sampled sub-diagonal row blocks to verify")
+    p.add_argument("--shape-mode", default="pow2",
+                   choices=["exact", "pow2", "full"],
+                   help="panel shape bucketing (pow2 keeps the remote "
+                   "compile count O(log g) instead of O(g))")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (virtual mesh)")
     args = p.parse_args()
@@ -119,7 +123,7 @@ def main():
     l = out_of_core_cholesky(
         a, panel_tiles=args.panel_tiles, mesh=mesh,
         checkpoint_dir=args.checkpoint_dir, stop_panels=stop,
-        cache_bytes=args.cache_bytes,
+        cache_bytes=args.cache_bytes, shape_mode=args.shape_mode,
     )
     wall = time.time() - t0
     panels_done = stop or n_panels_total

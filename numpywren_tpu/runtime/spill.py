@@ -107,6 +107,24 @@ class SpillCheckpoint:
         os.replace(tmp, self.manifest_file)  # atomic commit
 
 
+def _bucket_tiles(rows_t: int, g: int, mode: str) -> int:
+    """Padded row count (in tiles) for one panel/strip under a shape-
+    bucketing mode: 'exact' = no padding (one XLA trace per panel step —
+    fine on CPU, compile-BOUND through a remote TPU compile service at
+    large panel counts: ~2 compiles x 30-90 s per step), 'pow2' = pad to
+    the next power of two (O(log g) distinct shapes, <= 2x padded flops,
+    ~1.33x average), 'full' = always the full height (ONE shape, 2x
+    total update flops)."""
+    if mode == "exact":
+        return rows_t
+    if mode == "full":
+        return g
+    if mode == "pow2":
+        return min(g, 1 << max(rows_t - 1, 0).bit_length())
+    raise ValueError(f"unknown shape_mode {mode!r} "
+                     "(expected exact|pow2|full)")
+
+
 def out_of_core_cholesky(
     a: TiledMatrix,
     panel_tiles: int = 4,
@@ -118,6 +136,7 @@ def out_of_core_cholesky(
     on_event=None,
     mesh=None,
     stop_panels: Optional[int] = None,
+    shape_mode: str = "pow2",
 ) -> TiledMatrix:
     """Left-looking blocked Cholesky of a host-tier SPD TiledMatrix.
 
@@ -167,6 +186,17 @@ def out_of_core_cholesky(
     manifest then records the prefix and a later call with the same
     checkpoint_dir and a larger (or absent) stop_panels CONTINUES the
     factorization where it stopped.
+
+    shape_mode ('exact'|'pow2'|'full', default 'pow2'): the panel height
+    shrinks every step, and XLA re-traces `update`/`factor_panel` per
+    shape — through the remote TPU compile service that is ~2 compiles x
+    30-90 s PER PANEL (compile-bound at reference scale: N=131072 has 64
+    panels). 'pow2' zero-pads every device-resident panel/strip to the
+    next power-of-two tile count: O(log g) distinct shapes for <= 2x
+    padded flops (~1.33x average). The padding is invariant through the
+    algebra — padded strip rows are zeros, so updates leave padded panel
+    rows untouched, and the factor's triangular solve maps zero rows to
+    zero rows; writebacks slice the real rows on device before D2H.
     """
     import concurrent.futures
 
@@ -287,25 +317,38 @@ def out_of_core_cholesky(
     recent = {}
 
     def load_strip(q: int, c0_t: int, rows_t: int, q_w: int):
+        """L strip rows [c0_t, c0_t + rows_t) of panel q, rows_t possibly
+        bucket-padded past the grid — the padding rows come back as zeros
+        (host path pads the assembly; device hits require the source's own
+        padding to cover the request, else fall through)."""
+        real_t = min(rows_t, g - c0_t)
         hit = recent.get(q)
         if hit is not None:
             row0_t, arr = hit
-            if row0_t <= c0_t:
+            if (row0_t <= c0_t
+                    and (c0_t - row0_t + rows_t) * t <= arr.shape[0]):
                 event("strip_hit_device", q)
                 return lax_slice_rows(arr, (c0_t - row0_t) * t, rows_t * t)
         if cache is not None:
             hit = cache.get(q)
             if hit is not None:
                 row0_t, arr = hit
-                if row0_t <= c0_t:
-                    return lax_slice_rows(arr, (c0_t - row0_t) * t, rows_t * t)
+                if (row0_t <= c0_t
+                        and (c0_t - row0_t + rows_t) * t <= arr.shape[0]):
+                    return lax_slice_rows(arr, (c0_t - row0_t) * t,
+                                          rows_t * t)
         # host path: panel q's writeback must have landed first
         fut = writer_futures.get(q)
         if fut is not None:
             fut.result()
         a.load_count += 1
         event("strip_load", q)
-        arr = place(_panel_from_host(l_out, c0_t, q * panel_tiles, rows_t, q_w))
+        host_strip = _panel_from_host(l_out, c0_t, q * panel_tiles,
+                                      real_t, q_w)
+        if rows_t > real_t:
+            host_strip = np.pad(host_strip,
+                                ((0, (rows_t - real_t) * t), (0, 0)))
+        arr = place(host_strip)
         if cache is not None:
             cache.put(q, (c0_t, arr))
         return arr
@@ -316,16 +359,26 @@ def out_of_core_cholesky(
     def upload_panel(s: int):
         """Assemble the input panel on host and issue its H2D transfer
         (async dispatch: returns immediately, the copy rides under whatever
-        the device is computing)."""
+        the device is computing). Rows are zero-padded to the shape
+        bucket — padded rows stay zero through every update (zero strip
+        rows) and the factor (zero solve RHS)."""
         c0 = s * panel_tiles
         w_t = min(panel_tiles, g - c0)
         rows_t = g - c0
+        rows_bt = _bucket_tiles(rows_t, g, shape_mode)
         host_panel = _panel_from_host(a, c0, c0, rows_t, w_t,
                                       lower_mirror=lower_mirror)
+        if rows_bt > rows_t:
+            host_panel = np.pad(host_panel,
+                                ((0, (rows_bt - rows_t) * t), (0, 0)))
         event("upload", s)
         return place(host_panel)
 
-    def write_back(s: int, c0: int, panel_dev):
+    def write_back(s: int, c0: int, panel_dev, real_rows: int):
+        # slice the real rows ON DEVICE first: D2H of bucket padding is
+        # pure waste through a ~MB/s tunnel
+        if panel_dev.shape[0] > real_rows:
+            panel_dev = lax_slice_rows(panel_dev, 0, real_rows)
         host_l = np.asarray(panel_dev)           # D2H (writer thread)
         event("download", s)
         _panel_to_host(l_out, host_l, c0, c0)
@@ -350,25 +403,45 @@ def out_of_core_cholesky(
             c0 = s * panel_tiles
             w_t = min(panel_tiles, g - c0)       # panel width in tiles
             rows_t = g - c0                      # rows from the diagonal down
+            rows_bt = _bucket_tiles(rows_t, g, shape_mode)
             ensure_prefetched(s + depth)
             fut = prefetched.pop(s, None)
             panel = fut.result() if fut is not None else upload_panel(s)
             # stream updates from previously factored panels
             for q in range(s):
                 q_w = min(panel_tiles, g - q * panel_tiles)
-                l_strip = load_strip(q, c0, rows_t, q_w)
+                l_strip = load_strip(q, c0, rows_bt, q_w)
                 l_top = l_strip[: w_t * t]       # rows of the panel's columns
                 panel = update(panel, l_strip, l_top)
             panel = factor_panel(panel)
             event("factor", s)
             recent.clear()
+            # serve copy: the NEXT panel's tallest-strip request starts
+            # panel_tiles below this panel's top and is itself bucket-
+            # padded, so it can overrun this panel's own bucket; pad the
+            # device-resident serve copy to cover it (zero rows — exactly
+            # what the request's padding must contain). O(log g) distinct
+            # pad shapes; the writer gets the UNpadded panel.
+            serve_t = rows_bt
+            if s + 1 < n_panels and shape_mode != "exact":
+                nxt_bt = _bucket_tiles(g - (s + 1) * panel_tiles, g,
+                                       shape_mode)
+                serve_t = max(rows_bt, panel_tiles + nxt_bt)
+            if serve_t > rows_bt:
+                # the padded serve copy REPLACES the factored panel (the
+                # writer slices the real rows out of it), so only one
+                # buffer per panel is ever live — a second copy OOM'd the
+                # 16 GiB HBM at N=131072 with a GB-scale strip cache
+                panel = jnp.pad(panel, ((0, (serve_t - rows_bt) * t),
+                                        (0, 0)))
             recent[s] = (c0, panel)
             # backpressure: each queued writeback pins a device panel, so
             # cap outstanding jobs at pipeline_width before submitting
             pending = [s2 for s2, f in writer_futures.items() if not f.done()]
             for s2 in sorted(pending)[: max(0, len(pending) - max(1, int(pipeline_width)) + 1)]:
                 writer_futures[s2].result()
-            writer_futures[s] = writer.submit(write_back, s, c0, panel)
+            writer_futures[s] = writer.submit(write_back, s, c0, panel,
+                                              rows_t * t)
             if pipeline_width <= 1:
                 # serial mode: no overlap at all (the reference's
                 # pipeline_width=1 worker semantics)

@@ -371,3 +371,33 @@ def test_ooc_stop_panels_prefix_then_continue(tmp_path):
     ln = np.tril(l2.numpy())
     ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
     np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_bucket_tiles_unit():
+    from numpywren_tpu.runtime.spill import _bucket_tiles
+
+    g = 13
+    assert [_bucket_tiles(r, g, "exact") for r in (1, 3, 5, 13)] == [1, 3, 5, 13]
+    assert [_bucket_tiles(r, g, "pow2") for r in (1, 2, 3, 5, 8, 9, 13)] == \
+        [1, 2, 4, 8, 8, 13, 13]
+    assert all(_bucket_tiles(r, g, "full") == g for r in (1, 5, 13))
+    with pytest.raises(ValueError):
+        _bucket_tiles(3, g, "nope")
+    # distinct pow2 shapes over a full sweep is O(log g), not O(g) — the
+    # remote-compile-count contract (each distinct shape is one XLA trace)
+    shapes = {_bucket_tiles(r, 64, "pow2") for r in range(1, 65)}
+    assert len(shapes) <= 7
+
+
+@pytest.mark.parametrize("mode", ["exact", "pow2", "full"])
+def test_ooc_shape_modes_parity(mode):
+    """All three shape-bucketing modes produce the same factor (the
+    padding rows are zeros and stay zeros through updates + factor), on
+    a deliberately non-power-of-two grid with a ragged last panel."""
+    a = random_spd(160, seed=7)                    # 5 tiles of 32
+    at = shard_matrix(a, tile=(32, 32), storage="host")
+    l = out_of_core_cholesky(at, panel_tiles=2, shape_mode=mode,
+                             cache_bytes=1 << 20)
+    ln = np.tril(l.numpy())
+    ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
+    np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
