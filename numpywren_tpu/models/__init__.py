@@ -24,6 +24,11 @@ reference, which stops at the precursors):
 - svd.svd:              FULL SVD (U, s, Vt) — BDFAC with transform
                         accumulation on the MXU + a host fp64 SVD of the
                         block-bidiagonal core
+- jacobi.svd_jacobi:    FULL SVD entirely on device (one-sided block
+                        Jacobi: batched pair Grams + batched small eighs
+                        + GEMM rotations) — the with-vectors path at
+                        n >= 8192 where the host finish is infeasible;
+                        also svd(method="jacobi")
 - svd.svd_tall:         thin SVD of tall-skinny matrices (GEMM-only QR)
 - svd.randomized_svd:   rank-k truncated SVD (HMT sketch + power iteration)
 - lstsq.least_squares:  tall least squares (CholeskyQR or normal equations)
@@ -32,6 +37,7 @@ reference, which stops at the precursors):
 """
 
 from numpywren_tpu.alg_wrappers import bdfac, cholesky, gemm, tsqr, tsqr_r_factor
+from numpywren_tpu.models.jacobi import svd_jacobi
 from numpywren_tpu.models.lstsq import least_squares, ridge_regression
 from numpywren_tpu.models.pca import pca
 from numpywren_tpu.models.svd import (
@@ -43,6 +49,6 @@ from numpywren_tpu.models.svd import (
 
 __all__ = [
     "cholesky", "gemm", "tsqr", "bdfac", "tsqr_r_factor",
-    "singular_values", "svd", "svd_tall", "randomized_svd",
+    "singular_values", "svd", "svd_jacobi", "svd_tall", "randomized_svd",
     "least_squares", "ridge_regression", "pca",
 ]

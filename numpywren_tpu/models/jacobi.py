@@ -1,0 +1,399 @@
+"""One-sided block-Jacobi SVD — full SVD with vectors, entirely on device.
+
+The reference's SVD story stops at BDFAC (upstream:numpywren/algs.py::bdfac,
+"the SVD precursor"); finishing with vectors was this framework's last
+host-bound stage: LAPACK gesdd on the banded B costs ~520 s at n=8192 on a
+1-core host, and every banded-finish alternative measured as a dead end
+(TODO.md gap #1: dgbbrd VECT='B' is unblocked Givens against dense
+accumulators; jax's QDWH spectral D&C is flat-latency-bound through this
+runtime at 140+ s for n=2048).
+
+This module takes the classical route that IS shaped like a TPU: one-sided
+block Jacobi (Hestenes; block form a la Drmac). Maintain W <- A and an
+accumulator V <- I. Sweep a round-robin tournament over column-block pairs;
+for each pair, the 2b x 2b Gram G = [Wi Wj]^T [Wi Wj] is eigendecomposed
+and the rotation applied to [Wi Wj] and [Vi Vj]. At convergence W's columns
+are mutually orthogonal: W = U diag(s), A = U diag(s) V^T.
+
+Why this maps to the hardware (measured 2026-08-19, TPU v5e via axon):
+
+- every heavy op is a batched GEMM (pair Grams + rotations: O(m b^2) each,
+  MXU work at HIGHEST precision) or a BATCHED small eigh — and XLA TPU's
+  batched eigh is fast where its big one-shot D&C is not: p=1024 batch=8
+  runs in ~290 ms warm (vs 140+ s for the monolithic QDWH SVD at 2048).
+- all g/2 disjoint pairs of a round rotate in ONE jit call (vmap over the
+  pair axis): per-round dispatch latency is paid once per round, not once
+  per pair, and no host round trip happens inside a sweep (the tunnel's
+  ~1 s scalar-fetch cost is paid once per CONVERGENCE CHECK, i.e. once per
+  sweep).
+- column blocks are stored as a (g, m, b) tensor, so a round's pair gather/
+  scatter is a block-index permutation (static-shape dynamic gather), never
+  a reshape of the full matrix.
+
+Accuracy: the rotations are applied to A itself (the pair Gram only steers
+them, and an inexact rotation is still exactly orthogonal to eigh grade),
+so there is no GLOBAL Gram squaring — measured at kappa=1e4 fp32 the small
+sigmas carry ~6e-5 * sigma_max absolute error where an eig(A^T A) route
+would carry ~1e-3. The pair solve does square LOCALLY (eigh of the pair
+Gram orthogonalizes a sigma_i/sigma_j pair only to ~eps * ratio^2), which
+the CholeskyQR2 polish converts into a reconstruction floor of
+~sqrt(eps) * sigma_max once kappa exceeds ~1/sqrt(eps) (~3e3 at fp32):
+recon 1.5e-5 at kappa <= 1e3, ~5e-4 at kappa = 1e4, with U^T U = I held at
+working precision throughout. (A graded-deflation polish — project each
+sigma tier against the tiers above before its within-tier CholQR — would
+restore recon ~ eps * sigma_max for graded spectra; not built.)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = ["svd_jacobi", "roundrobin_schedule"]
+
+
+def roundrobin_schedule(g: int) -> np.ndarray:
+    """(g-1, g) round-robin tournament: row r lists a block order such that
+    (row[2k], row[2k+1]) are the disjoint pairs of round r; over the g-1
+    rounds every unordered block pair meets exactly once (the classical
+    circle method: fix block 0, rotate the rest). g must be even."""
+    if g < 2 or g % 2:
+        raise ValueError(f"round-robin needs an even g >= 2, got {g}")
+    idx = list(range(g))
+    rounds = []
+    for _ in range(g - 1):
+        row = []
+        for k in range(g // 2):
+            row += [idx[k], idx[g - 1 - k]]
+        rounds.append(row)
+        idx = [idx[0]] + [idx[-1]] + idx[1:-1]
+    return np.asarray(rounds, dtype=np.int32)
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("g", "b", "prec"),
+    donate_argnames=("w", "v"),
+)
+def _sweep(w, v, perms, *, g: int, b: int, prec):
+    """One full round-robin sweep (g-1 rounds) over column-block pairs.
+
+    w: (g, m, b) column blocks of the working matrix; v: (g, n, b) column
+    blocks of the right-transform accumulator; perms: (g-1, g) int32 round
+    schedules. Each round: gather the paired blocks, eigendecompose the
+    2b x 2b pair Grams (batched over the g/2 disjoint pairs), rotate.
+
+    The rotation must be the one CLOSEST TO IDENTITY, not eigh's
+    eigenvalue-sorted one: a sorted full-pair diagonalization degenerates
+    into a bare permutation once the pair Gram is nearly diagonal, and the
+    periodic permutation churn then shuffles the remaining cross-block
+    mass so it always dodges the visited pair — a measured fixed CYCLE of
+    the sweep map (off-norm stalls at ~0.5 forever). Reordering Q's
+    columns so eigenvalue ranks follow the rank order of the Gram's
+    diagonal (plus positive-diagonal signs) makes Q -> I for near-diagonal
+    pairs, which restores the classical global convergence (quadratic
+    once sorted; sigma ordering is recovered by one argsort at the end)."""
+    import jax
+    import jax.numpy as jnp
+
+    def round_body(r, carry):
+        w, v = carry
+        perm = perms[r]
+        wp = jnp.take(w, perm, axis=0)               # (g, m, b)
+        vp = jnp.take(v, perm, axis=0)               # (g, n, b)
+        m, n = wp.shape[1], vp.shape[1]
+        pair_w = wp.reshape(g // 2, 2, m, b).transpose(0, 2, 1, 3)
+        pair_w = pair_w.reshape(g // 2, m, 2 * b)    # (g/2, m, 2b)
+        gram = jnp.einsum("kmi,kmj->kij", pair_w, pair_w, precision=prec)
+        _, q = jnp.linalg.eigh(gram)                 # ascending
+        d = jnp.diagonal(gram, axis1=1, axis2=2)
+        rank = jnp.argsort(jnp.argsort(d, axis=1), axis=1)
+        q = jnp.take_along_axis(q, rank[:, None, :], axis=2)
+        sgn = jnp.sign(jnp.diagonal(q, axis1=1, axis2=2))
+        sgn = jnp.where(sgn == 0, 1.0, sgn).astype(q.dtype)
+        q = q * sgn[:, None, :]
+        pair_w = jnp.einsum("kmi,kij->kmj", pair_w, q, precision=prec)
+        pair_v = vp.reshape(g // 2, 2, n, b).transpose(0, 2, 1, 3)
+        pair_v = pair_v.reshape(g // 2, n, 2 * b)
+        pair_v = jnp.einsum("kmi,kij->kmj", pair_v, q, precision=prec)
+        wn = pair_w.reshape(g // 2, m, 2, b).transpose(0, 2, 1, 3)
+        vn = pair_v.reshape(g // 2, n, 2, b).transpose(0, 2, 1, 3)
+        w = w.at[perm].set(wn.reshape(g, m, b))
+        v = v.at[perm].set(vn.reshape(g, n, b))
+        return w, v
+
+    return jax.lax.fori_loop(0, g - 1, round_body, (w, v))
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("prec",))
+def _off_rel(w, *, prec):
+    """Relative off-diagonal mass of the column Gram C = W^T W:
+    ||C - diag||_F / ||diag||_F — the one scalar fetched per sweep.
+
+    This is the UNSCALED measure: it is monotone under the pair
+    rotations (each annihilates exactly its pair's off-mass) and
+    converges quadratically, so it makes a reliable stop criterion. It
+    under-weights small-sigma pairs — but so do the Gram-eigh rotations
+    themselves (the pair eigh orthogonalizes a sigma_i/sigma_j pair only
+    to ~eps * (sigma_i/sigma_j)^2: local Gram squaring), so iterating on
+    a SCALED correlation measure was measured to wander near its
+    eps*kappa^2 floor without converging; trailing-vector orthogonality
+    is restored by the CholeskyQR2 polish instead (_polish_u). fp32
+    trap: sum(C^2) - sum(diag^2) cancels catastrophically once the
+    off-mass is below the sums' roundoff and reads exactly 0, so the
+    diagonal is zeroed BEFORE summing."""
+    import jax.numpy as jnp
+
+    g, m, b = w.shape
+    wm = w.transpose(1, 0, 2).reshape(m, g * b)
+    c = jnp.matmul(wm.T, wm, precision=prec)
+    d = jnp.diagonal(c)
+    off2 = jnp.sum(jnp.square(c - jnp.diag(d)))
+    den = jnp.sum(jnp.square(d))
+    return jnp.sqrt(off2 / jnp.maximum(den, 1e-30))
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("prec",))
+def _cholqr_pass(u, *, prec):
+    import jax.numpy as jnp
+    from jax.scipy.linalg import solve_triangular
+
+    c = jnp.matmul(u.T, u, precision=prec)
+    l = jnp.linalg.cholesky(c)
+    return solve_triangular(l, u.T, lower=True).T, l
+
+
+def _polish_u(u, prec):
+    """CholeskyQR2 re-orthonormalization of U. After Jacobi convergence
+    U is orthonormal except between extreme-sigma-ratio column pairs
+    (the Gram-eigh rotations' eps*ratio^2 floor — see _off_rel), so
+    kappa(U) is modest and CholeskyQR is stable: two passes land at
+    working-precision orthogonality for two n^2 m GEMM-flops passes plus
+    two flat-latency custom calls — nothing like a full QR. Columns are
+    sigma-sorted DESCENDING, so the triangular solve orthogonalizes each
+    trailing (garbage-prone) column against the leading (accurate) ones,
+    never the reverse; the perturbation to A ~ U S Vt is sigma-weighted
+    and stays at the recon floor. Falls back to Householder QR (sign-
+    fixed) if a pass's Cholesky breaks (near-parallel garbage columns)."""
+    import jax.numpy as jnp
+
+    for _ in range(2):
+        u2, l = _cholqr_pass(u, prec=prec)
+        if not bool(jnp.all(jnp.isfinite(l[-1, -1:]))):
+            q, r = jnp.linalg.qr(u, mode="reduced")
+            sgn = jnp.sign(jnp.diagonal(r))
+            sgn = jnp.where(sgn == 0, 1.0, sgn).astype(u.dtype)
+            return q * sgn[None, :]
+        u = u2
+    return u
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("n_keep",),
+    donate_argnames=("w", "v"),
+)
+def _finish(w, v, *, n_keep: int):
+    """sigma = column norms, U = W / sigma, global descending sort, crop
+    the zero-padding columns (U to n_keep columns, Vt to n_keep rows AND
+    columns — V's padded coordinates only carry null-space directions).
+    Columns with sigma ~ 0 come back as ZERO U columns (handled by the
+    caller's rank completion)."""
+    import jax.numpy as jnp
+
+    g, m, b = w.shape
+    n_full = g * b
+    wm = w.transpose(1, 0, 2).reshape(m, n_full)
+    vm = v.transpose(1, 0, 2).reshape(v.shape[1], n_full)
+    s = jnp.sqrt(jnp.sum(jnp.square(wm), axis=0))
+    order = jnp.argsort(-s)[:n_keep]
+    s = jnp.take(s, order)
+    u = jnp.take(wm, order, axis=1) / jnp.maximum(s, 1e-30)[None, :]
+    vt = jnp.take(vm, order, axis=1).T[:, :n_keep]
+    # columns whose norm is at the underflow floor carry no direction:
+    # zero them so the caller's completion sees exact zeros, not noise
+    good = (s > 1e-30).astype(u.dtype)
+    return u * good[None, :], s * good, vt * good[:, None]
+
+
+def _complete_rank_deficient(u, s, rank_tol: float, prec):
+    """Replace the U columns of (near-)zero singular values with an
+    orthonormal completion of the leading columns' span: QR of
+    [U_good | PRNG noise] — one device QR, no host round trip. R's
+    diagonal signs are folded back so the leading r columns stay EQUAL to
+    U_good (QR's sign convention would otherwise flip some)."""
+    import jax
+    import jax.numpy as jnp
+
+    m, k = u.shape
+    smax = s[0] if s.shape[0] else jnp.float32(0)
+    good = np.asarray(s > rank_tol * np.maximum(np.asarray(smax), 1e-30))
+    r = int(good.sum())
+    if r == k:
+        return u
+    noise = jax.random.normal(jax.random.PRNGKey(0), (m, k - r), u.dtype)
+    q, rr = jnp.linalg.qr(jnp.concatenate([u[:, :r], noise], axis=1),
+                          mode="reduced")
+    sign = jnp.sign(jnp.diagonal(rr))
+    sign = jnp.where(sign == 0, 1.0, sign).astype(u.dtype)
+    return q * sign[None, :]
+
+
+@functools.partial(__import__("jax").jit, static_argnames=("prec",))
+def _rayleigh_s(x, u, vt, *, prec):
+    """Re-extract sigma as diag(U^T A V) after the polish — the
+    reconstruction-OPTIMAL diagonal for orthonormal U, V (minimizes
+    ||A - U diag(s) Vt||_F), and a second-order-accurate sigma: the
+    polish removed U's leakage onto the leading true directions, so the
+    cross terms sigma_i * c_i * d_i that floor the column-norm estimate
+    at ~1e-4 * sigma_max (measured, kappa=1e4) collapse to
+    ~eps * sigma_max. Returns sigma clamped at 0 and the descending
+    re-sort order (refinement can swap near-equal neighbours)."""
+    import jax.numpy as jnp
+
+    av = jnp.matmul(x, vt.T, precision=prec)
+    s = jnp.maximum(jnp.einsum("mi,mi->i", u, av, precision=prec), 0.0)
+    order = jnp.argsort(-s)
+    return jnp.take(s, order), order
+
+
+def svd_jacobi(
+    x,
+    block: int = 512,
+    max_sweeps: int = 24,
+    tol: float = 2e-6,
+    precision=None,
+    compute_uv: bool = True,
+    polish: bool = True,
+    rank_tol: float = 0.0,
+    _sweep_trace: Optional[list] = None,
+) -> Tuple:
+    """Full SVD with vectors, no host O(n^3) stage: (U, s, Vt) DEVICE
+    arrays with x = U @ diag(s) @ Vt (thin factors, k = min(m, n)), or
+    just s (descending) when compute_uv=False.
+
+    This closes the framework's with-vectors gap at n >= 8192 (TODO.md
+    gap #1): the bdfac pipeline's host gesdd finish costs ~520 s there,
+    while every stage here — batched pair Grams, batched 2b x 2b eighs,
+    batched rotations — runs on the MXU/XLA, sized by `block` so one
+    round's g/2 pairs go in one jit call.
+
+    block: column-block width b (pair eighs are 2b x 2b; 512 pairs the
+    measured sweet spot of batched eigh vs GEMM ratio on v5e). Inputs are
+    zero-padded to an even number of blocks; zero columns are invariant
+    under the pair rotations (eigh of [[G,0],[0,0]] leaves the zero
+    eigenspace in place) and are cropped before returning.
+
+    tol: converged when ||offdiag(W^T W)||_F / ||diag||_F falls below
+    tol (fp32-HIGHEST floors at ~1.4e-6, typically in 6-9 sweeps —
+    quadratic contraction once small); the loop also stops on stagnation
+    (off-norm no longer shrinking: the roundoff floor).
+
+    precision: MXU precision for Grams/rotations; defaults to HIGHEST
+    (true-fp32 grade) because the batched eigh dominates the round's
+    wall time anyway — HIGH only pays when m >> n makes the rotations
+    dominant.
+
+    polish: CholeskyQR2-reorthonormalize U before returning (~two GEMM
+    passes). The Gram-eigh pair rotations orthogonalize an extreme-
+    sigma-ratio column pair only to ~eps * ratio^2 (local Gram
+    squaring), so for ill-conditioned inputs the trailing U columns
+    drift; the polish restores working-precision U^T U = I while
+    perturbing the reconstruction only at its existing floor (see
+    _polish_u). V needs no polish — it accumulates exactly orthogonal
+    rotations.
+
+    rank_tol: > 0 replaces the U columns of singular values below
+    rank_tol * s[0] with an orthonormal completion (one device QR);
+    at 0 those columns return as exact zeros (x = U diag(s) Vt still
+    holds — the zeroed columns multiply zero sigmas).
+
+    Wide inputs run on x.T (factors swapped back). Tall inputs run
+    directly — one-sided Jacobi never forms an m x m object, so cost
+    scales linearly in m and no QR pre-reduction is required (callers
+    with m >> n can still pre-reduce via fused_tsqr and multiply Q back).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    if x.ndim != 2:
+        raise ValueError(f"svd_jacobi expects a matrix, got {x.shape}")
+    m, n = x.shape
+    if m < n:
+        res = svd_jacobi(x.T, block=block, max_sweeps=max_sweeps, tol=tol,
+                         precision=precision, compute_uv=compute_uv,
+                         rank_tol=rank_tol, _sweep_trace=_sweep_trace)
+        if not compute_uv:
+            return res
+        u, s, vt = res
+        return vt.T, s, u.T
+    if n <= 8:
+        # tiny problems: one host LAPACK call beats any device dispatch
+        un, sn, vtn = np.linalg.svd(np.asarray(x), full_matrices=False)
+        if not compute_uv:
+            return jnp.asarray(sn)
+        return jnp.asarray(un), jnp.asarray(sn), jnp.asarray(vtn)
+
+    if x.dtype not in (jnp.float32, jnp.float64):
+        x = x.astype(jnp.float32)
+    prec = precision
+    if prec is None:
+        prec = jax.lax.Precision.HIGHEST
+
+    b = min(block, -(-n // 2))
+    g = -(-n // b)
+    if g % 2:
+        g += 1
+    n_pad = g * b
+    wm = x if n_pad == n else jnp.pad(x, ((0, 0), (0, n_pad - n)))
+    w = wm.T.reshape(g, b, m).transpose(0, 2, 1)          # (g, m, b)
+    eye = jnp.eye(n_pad, dtype=x.dtype)
+    v = eye.T.reshape(g, b, n_pad).transpose(0, 2, 1)     # (g, n_pad, b)
+    perms = jnp.asarray(roundrobin_schedule(g))
+
+    prev = float("inf")
+    for _ in range(max_sweeps):
+        w, v = _sweep(w, v, perms, g=g, b=b, prec=prec)
+        off = float(_off_rel(w, prec=prec))
+        if _sweep_trace is not None:
+            _sweep_trace.append(off)
+        if off <= tol or off >= 0.9 * prev:
+            # converged, or the off-norm stopped contracting (the measure
+            # is monotone under the rotations, so a near-1x step means
+            # the fp roundoff floor — more sweeps only burn time)
+            break
+        prev = off
+
+    u, s, vt = _finish(w, v, n_keep=n)
+    if not compute_uv:
+        return s
+    if polish:
+        r = int(np.count_nonzero(np.asarray(s)))
+        if r == s.shape[0]:
+            u = _polish_u(u, prec)
+            if n_pad != n:
+                # cropping the padded V coordinates loses the mass that
+                # near-degenerate small-sigma pairs leaked into them
+                # (eigh mixes sigma_min^2 with the padding zeros at
+                # ~eps*lambda_max/sigma_min^2) — restore row
+                # orthonormality the same way
+                vt = _polish_u(vt.T, prec).T
+        elif r:
+            # zero columns would make the polish Gram exactly singular;
+            # polish the nonzero prefix only (sigma is sorted descending)
+            u = jnp.concatenate([_polish_u(u[:, :r], prec), u[:, r:]],
+                                axis=1)
+            if n_pad != n:
+                vt = jnp.concatenate(
+                    [_polish_u(vt[:r].T, prec).T, vt[r:]], axis=0)
+        if r:
+            s2, order = _rayleigh_s(x, u, vt, prec=prec)
+            s = s2
+            u = jnp.take(u, order, axis=1)
+            vt = jnp.take(vt, order, axis=0)
+    if rank_tol > 0:
+        u = _complete_rank_deficient(u, s, rank_tol, prec)
+    return u, s, vt

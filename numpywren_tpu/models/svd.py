@@ -516,6 +516,11 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
     `precision`.
 
     method: None/"bdfac" (default) = the two-stage pipeline below;
+    "jacobi" = all-device one-sided block Jacobi (models.svd_jacobi —
+    batched pair Grams/eighs/rotations, no host O(n^3) stage: the
+    with-vectors route at n >= 8192, where this pipeline's host gesdd
+    finish costs ~520 s on a 1-core host; recon ~1.5e-5, U/V
+    orthogonality ~3e-7 at kappa <= 1e3 fp32);
     "qdwh" = the all-device QDWH polar + spectral divide-and-conquer SVD
     (no bdfac, no host stage, any shape; recon ~1.6e-6 at 512^2 fp32).
     Measured caveat (2026-08-19, TPU v5e via the axon tunnel): jax's
@@ -549,8 +554,22 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
     x = np.asarray(x)
     if x.ndim != 2:
         raise ValueError(f"svd expects a matrix, got {x.shape}")
-    if method not in (None, "bdfac", "qdwh"):
+    if method not in (None, "bdfac", "qdwh", "jacobi"):
         raise ValueError(f"unknown svd method {method!r}")
+    if method == "jacobi":
+        # all-device full SVD by one-sided block Jacobi (models.jacobi):
+        # batched pair Grams + batched small eighs + GEMM rotations — the
+        # practical with-vectors path at n >= 8192 (the bdfac pipeline's
+        # host gesdd finish is ~520 s there; jax's QDWH D&C is latency-
+        # bound through this runtime). Converts factors to host arrays
+        # per this function's contract — device-resident pipelines should
+        # call models.svd_jacobi directly and keep the factors on chip.
+        from numpywren_tpu.models.jacobi import svd_jacobi
+
+        u, s, vt = svd_jacobi(x.astype(np.float32, copy=False),
+                              block=min(tile, 512), precision=precision)
+        return (np.asarray(u).astype(x.dtype), np.asarray(s).astype(x.dtype),
+                np.asarray(vt).astype(x.dtype))
     if method == "qdwh":
         # all-device full SVD (QDWH polar + spectral D&C eigh): no host
         # O(n^3) stage — the with-vectors path for n >= 8192, where the
