@@ -33,8 +33,18 @@ def log(*a):
 # JSON line here; an outage then degrades to "previous measurement, marked
 # stale" instead of value 0.0 (round 3 shipped a 0.0 because the axon tunnel
 # was down at driver bench time).
-LASTGOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_LASTGOOD.json")
+LASTGOOD_PATH = os.environ.get(
+    "NPW_BENCH_LASTGOOD",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_LASTGOOD.json"))
+
+# Set once a REAL (non-stale) measurement line has been printed. The budget
+# watchdog and the failure paths consult it: once a real line is out, any
+# later kill/timeout must exit 0 without emitting anything that could
+# shadow it.
+import threading
+
+_REAL_PRINTED = threading.Event()
 
 
 def save_lastgood(out: dict):
@@ -47,24 +57,52 @@ def save_lastgood(out: dict):
         log(f"lastgood save failed: {e}")
 
 
-def emit_failure(alg: str, error: str):
-    """The driver's contract is ONE JSON line. On failure, prefer the
-    last-good measurement with stale markers over a useless 0.0 — but only
-    if it measured the SAME algorithm (replaying cholesky numbers for a
-    failed tsqr run would record a wrong metric)."""
+def load_lastgood(alg: str):
+    """Last-good measurement for the SAME algorithm (replaying cholesky
+    numbers for a failed tsqr run would record a wrong metric)."""
     try:
         with open(LASTGOOD_PATH) as f:
             last = json.load(f)
         if str(last.get("metric", "")).startswith(f"{alg}_"):
-            out = {**last, "stale": True, "stale_reason": error}
-            print(json.dumps(out), flush=True)
-            return
+            return last
     except (OSError, ValueError):
         pass
+    return None
+
+
+def emit_failure(alg: str, error: str):
+    """The driver's contract is ONE JSON line. On failure, prefer the
+    last-good measurement with stale markers over a useless 0.0."""
+    if _REAL_PRINTED.is_set():
+        return  # a real line is already out; don't shadow it
+    last = load_lastgood(alg)
+    if last is not None:
+        out = {**last, "stale": True, "stale_reason": error}
+        print(json.dumps(out), flush=True)
+        return
     print(json.dumps({
         "metric": f"{alg}_tflops", "value": 0.0,
         "unit": "TFLOP/s", "vs_baseline": 0.0, "error": error,
     }), flush=True)
+
+
+def emit_provisional(alg: str):
+    """Flush the last-good line IMMEDIATELY at startup, marked provisional.
+
+    Rounds 3 and 4 both recorded nothing in the driver's BENCH_r*.json —
+    r3 because the tunnel was down at bench time, r4 because the driver's
+    own timeout SIGKILLed bench.py mid-headline (rc 124, parsed: null)
+    before any JSON line was flushed. An external SIGKILL leaves no
+    exception path to hook, so the only defense is to have a parseable
+    line on stdout from second zero. The driver captures and parses
+    output even on rc 124 (BENCH_r04.json carries the tail), and a later
+    real measurement line supersedes the provisional one; even a parser
+    that took the FIRST line would record last-good-marked-stale, which
+    beats parsed:null in every case."""
+    last = load_lastgood(alg)
+    if last is not None:
+        print(json.dumps({**last, "stale": True, "provisional": True}),
+              flush=True)
 
 
 def fetch_scalar(x) -> float:
@@ -93,6 +131,11 @@ def measure_matmul_peak(dtype, precision, n: int = 8192) -> float:
     ms, so each measurement leg must be hundreds of ms of real compute."""
     import jax
     import jax.numpy as jnp
+
+    if jax.devices()[0].platform != "tpu":
+        # CPU-smoke path: the 8192^3 chains take many minutes on a 1-core
+        # host and the "%-of-peak" framing is TPU-only anyway
+        n = 512
 
     x = (jax.random.normal(jax.random.PRNGKey(0), (n, n)) * 0.01).astype(dtype)
 
@@ -663,6 +706,10 @@ def main():
     if args.numerics:
         sys.exit(bench_numerics())
 
+    # flush a provisional record before ANYTHING that can hang or be
+    # killed (jax import, backend init, compiles) — see emit_provisional
+    emit_provisional(args.alg)
+
     try:
         _perf_main(args)
     except SystemExit:
@@ -674,27 +721,57 @@ def main():
         import traceback
 
         log(traceback.format_exc())
+        if _REAL_PRINTED.is_set():
+            sys.exit(0)  # a real measurement is already on stdout
         emit_failure(args.alg, f"{type(e).__name__}: {e}")
         sys.exit(1)
 
 
 def _perf_main(args):
     import jax
+
+    if os.environ.get("NPW_BENCH_FORCE_CPU"):
+        # test hook: the container's sitecustomize pre-imports jax, so the
+        # JAX_PLATFORMS env var is too late for subprocesses; the config
+        # knob still works before backend init
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # a down backend HANGS at init inside a blocking C call (observed:
     # axon tunnel outage — SIGALRM handlers never run because the
     # interpreter never regains control), so the watchdog is a THREAD
-    # that prints the diagnostic line itself and hard-exits
+    # that prints the diagnostic line itself and hard-exits.
+    # The same thread enforces the GLOBAL wall budget (VERDICT r4 #1):
+    # r4's driver run was SIGKILLed at its own timeout mid-headline with
+    # nothing parseable flushed; with a budget we exit 0 on our own terms
+    # with last-good (or whatever real stage already printed) on stdout.
     import os as _os
     import threading
 
     _init_done = threading.Event()
+    # generous default: a kill BEFORE the budget still finds the
+    # provisional + quick-stage lines on stdout, so a long budget only
+    # adds upside (time for the n=65536 upgrade to land)
+    budget = float(os.environ.get("NPW_BENCH_BUDGET_S", "3300"))
+    t_start = time.monotonic()
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
 
     def _watchdog():
-        if not _init_done.wait(290):
+        if not _init_done.wait(min(290, budget)):
             emit_failure(args.alg, "backend init exceeded 290 s (tunnel down?)")
-            _os._exit(1)
+            _os._exit(0 if _REAL_PRINTED.is_set() else 1)
+        rem = remaining()
+        while rem > 0:
+            time.sleep(min(rem, 30))
+            rem = remaining()
+        if not _REAL_PRINTED.is_set():
+            emit_failure(args.alg, f"global bench budget ({budget:.0f}s) "
+                                   "exhausted before a real measurement")
+        log(f"budget {budget:.0f}s exhausted; exiting "
+            f"(real measurement printed: {_REAL_PRINTED.is_set()})")
+        _os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
     # UNAVAILABLE init errors (tunnel flaps) usually clear within ~2 min:
@@ -748,50 +825,71 @@ def _perf_main(args):
         import functools as _ft
 
         fn = _ft.partial(bench_cholesky_trapezoid, panel=args.panel)
-    try:
-        tflops, per, extra = fn(n, tile, dtype, precision, args.syrk_depth)
-    except Exception as e:  # noqa: BLE001
-        # a failed headline leg (e.g. a compile-service fault at the
-        # largest size) must still record SOMETHING. Compile-helper
-        # SIGKILLs are usually transient (memory pressure on the remote
-        # compile service — observed 2026-08-18 at n=65536), so retry the
-        # headline itself once after a pause before shrinking.
-        fallback = {"cholesky": 32768, "gemm": 4096, "tsqr": 1 << 19,
-                    "bdfac": 4096}.get(args.alg)
-        if not (on_tpu and args.n is None and fallback and fallback < n):
-            raise
-        log(f"headline n={n} failed ({type(e).__name__}: {e}); "
-            f"retrying headline once in 30s")
-        time.sleep(30)
-        try:
-            tflops, per, extra = fn(n, tile, dtype, precision,
-                                    args.syrk_depth)
-            extra = {**extra, "headline_attempts": 2}
-        except Exception as e2:  # noqa: BLE001
-            log(f"headline retry failed ({type(e2).__name__}: {e2}); "
-                f"falling back to n={fallback}")
-            n = fallback
-            tflops, per, extra = fn(n, tile, dtype, precision,
-                                    args.syrk_depth)
-            extra = {**extra, "fallback_from": "headline_failure"}
 
-    frac_peak = tflops / peak
-    vs_baseline = frac_peak / args.target_frac
-    out = {
-        "metric": f"{args.alg}_n{n}_{args.dtype}_{args.precision}_tflops",
-        "value": round(tflops, 2),
-        "unit": "TFLOP/s",
-        "vs_baseline": round(vs_baseline, 4),
-        "frac_of_matmul_peak": round(frac_peak, 4),
-        "matmul_peak_tflops": round(peak, 1),
-        "seconds_per_run": round(per, 4),
-        "device": dev.device_kind,
-        **extra,
-    }
-    print(json.dumps(out), flush=True)
-    if on_tpu:
-        # only real-chip numbers are worth replaying on an outage
-        save_lastgood(out)
+    def run_stage(n_stage, note=None):
+        """Run one measurement and print its line IMMEDIATELY — every later
+        stage/failure leaves this record intact on stdout."""
+        tflops, per, extra = fn(n_stage, tile, dtype, precision,
+                                args.syrk_depth)
+        frac_peak = tflops / peak
+        out = {
+            "metric": (f"{args.alg}_n{n_stage}_{args.dtype}_"
+                       f"{args.precision}_tflops"),
+            "value": round(tflops, 2),
+            "unit": "TFLOP/s",
+            "vs_baseline": round(frac_peak / args.target_frac, 4),
+            "frac_of_matmul_peak": round(frac_peak, 4),
+            "matmul_peak_tflops": round(peak, 1),
+            "seconds_per_run": round(per, 4),
+            "device": dev.device_kind,
+            **extra,
+            **({"stage_note": note} if note else {}),
+        }
+        print(json.dumps(out), flush=True)
+        _REAL_PRINTED.set()
+        if on_tpu:
+            # only real-chip numbers are worth replaying on an outage
+            save_lastgood(out)
+
+    # Escalating headline (VERDICT r4 #1): at the cholesky flagship the
+    # n=65536 stage costs ~30 min of cold compiles alone — run the
+    # quick-but-real n=32768 stage FIRST so a parseable fresh number is on
+    # stdout within ~10 min, then upgrade to 65536 only if the wall budget
+    # still has room. The driver takes the last JSON line, so the upgrade
+    # supersedes the quick stage when it lands; a kill mid-upgrade leaves
+    # the quick stage as the round's record.
+    stages = [n]
+    if (on_tpu and args.n is None and args.alg == "cholesky"
+            and not os.environ.get("NPW_BENCH_FAST") and n > 32768):
+        stages = [32768, n]
+
+    escalate_min = float(os.environ.get("NPW_BENCH_ESCALATE_S", "1200"))
+    for i, n_stage in enumerate(stages):
+        if i > 0 and remaining() < escalate_min:
+            log(f"skipping n={n_stage} upgrade: {remaining():.0f}s left "
+                f"< {escalate_min:.0f}s")
+            break
+        try:
+            run_stage(n_stage,
+                      note="quick" if len(stages) > 1 and i == 0 else None)
+        except Exception as e:  # noqa: BLE001 — stage fault (e.g. a
+            # compile-service SIGKILL at the largest size, observed
+            # 2026-08-18): shrink directly instead of retrying the same
+            # size (the r4 full-retry path blew the driver's window)
+            if _REAL_PRINTED.is_set():
+                log(f"stage n={n_stage} failed ({type(e).__name__}: {e}); "
+                    "keeping the earlier stage's record")
+                break
+            fallback = {"cholesky": 16384 if n_stage <= 32768 else 32768,
+                        "gemm": 4096, "tsqr": 1 << 19,
+                        "bdfac": 4096}.get(args.alg)
+            if not (on_tpu and args.n is None and fallback
+                    and fallback < n_stage):
+                raise
+            log(f"stage n={n_stage} failed ({type(e).__name__}: {e}); "
+                f"falling back to n={fallback}")
+            run_stage(fallback, note="fallback_from_stage_failure")
+            break
 
 
 if __name__ == "__main__":
