@@ -1,0 +1,217 @@
+"""Round-5 on-chip measurement session A: svd_jacobi at flagship sizes
+(VERDICT r4 #2) in ONE process (the remote compile cache is per-process),
+with a JSONL log flushed after every stage so a tunnel flap loses nothing.
+
+Stages (each skippable via --only):
+  peak      measured matmul speed-of-light (the session's denominator)
+  jsmall    svd_jacobi n=1024 random — sanity + compile warm-up
+  jacobi    svd_jacobi n=4096 and n=8192 random, with vectors: wall
+            (cold+warm), recon / U,V orthogonality on device, sweeps.
+            The number this replaces: ~520 s host-gesdd finish at n=8192.
+  jgraded   svd_jacobi n=2048/4096 logspace kappa=1e4 (known sigmas by
+            construction): graded-polish recon/ortho/sigma error on chip
+            (CPU tests cannot see fp32-HIGH Gram roundoff — TODO.md).
+  sigonly   svd_jacobi compute_uv=False n=8192 (sigma-only path timing,
+            vs the band-reduce + dgbbrd route's ~56 s warm)
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python experiments/onchip_r05.py
+       [--only STAGE ...] [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+LOG = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "results", "onchip_r05.jsonl")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def log_result(stage, **kv):
+    os.makedirs(os.path.dirname(LOG), exist_ok=True)
+    rec = {"stage": stage, "t": time.time(), **kv}
+    with open(LOG, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def fetch_scalar(x):
+    import jax.numpy as jnp
+    import numpy as np
+
+    return float(np.asarray(x.astype(jnp.float32)))
+
+
+def _check_factors(x, u, s, vt):
+    """Device-side factor checks (never moves an n^2 array to host):
+    recon rel-Fro, U/V orthogonality."""
+    import jax
+    import jax.numpy as jnp
+
+    hp = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def checks(x, u, s, vt):
+        rec = jnp.matmul(u * s[None, :], vt, precision=hp)
+        num = jnp.linalg.norm(rec - x.astype(jnp.float32))
+        den = jnp.linalg.norm(x.astype(jnp.float32))
+        k = u.shape[1]
+        eu = jnp.matmul(u.T, u, precision=hp) - jnp.eye(k)
+        ev = jnp.matmul(vt, vt.T, precision=hp) - jnp.eye(k)
+        return (num / den, jnp.linalg.norm(eu) / jnp.sqrt(k),
+                jnp.linalg.norm(ev) / jnp.sqrt(k))
+
+    r, ou, ov = checks(x, u, s, vt)
+    return fetch_scalar(r), fetch_scalar(ou), fetch_scalar(ov)
+
+
+def _rand(n, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda: jax.random.normal(jax.random.PRNGKey(seed), (n, n),
+                                  jnp.float32),
+    )()
+
+
+def _logspace_dev(n, kappa, seed=0):
+    """x = Q1 diag(logspace) Q2^T with Q1,Q2 from device QR of Gaussians;
+    returns (x, true sigmas as a host vector)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sv = np.logspace(0, -np.log10(kappa), n).astype(np.float32)
+
+    @jax.jit
+    def build(sv):
+        q1, _ = jnp.linalg.qr(jax.random.normal(
+            jax.random.PRNGKey(seed), (n, n), jnp.float32))
+        q2, _ = jnp.linalg.qr(jax.random.normal(
+            jax.random.PRNGKey(seed + 1), (n, n), jnp.float32))
+        hp = jax.lax.Precision.HIGHEST
+        return jnp.matmul(q1 * sv[None, :], q2.T, precision=hp)
+
+    x = build(jnp.asarray(sv))
+    fetch_scalar(x[0, 0])
+    return x, sv
+
+
+def stage_peak(fast):
+    import bench
+    import jax
+
+    peak = bench.measure_matmul_peak(jax.numpy.float32,
+                                     jax.lax.Precision.HIGH)
+    log_result("peak", tflops=round(peak, 1))
+    return peak
+
+
+def _run_jacobi(n, block, seed, label, compute_uv=True, reps=2):
+    import numpy as np
+
+    from numpywren_tpu.models.jacobi import svd_jacobi
+
+    x = _rand(n, seed)
+    walls = []
+    sweeps = None
+    out = None
+    for rep in range(reps):
+        trace = []
+        t0 = time.perf_counter()
+        out = svd_jacobi(x, block=block, compute_uv=compute_uv,
+                         _sweep_trace=trace)
+        if compute_uv:
+            fetch_scalar(out[0][0, 0])
+        else:
+            fetch_scalar(out[0])
+        walls.append(time.perf_counter() - t0)
+        sweeps = len(trace)
+    rec = {"n": n, "block": block, "cold_s": round(walls[0], 1),
+           "warm_s": round(min(walls[1:]) if len(walls) > 1 else walls[0], 1),
+           "sweeps": sweeps, "final_off": trace[-1] if trace else None}
+    if compute_uv:
+        u, s, vt = out
+        r, ou, ov = _check_factors(x, u, s, vt)
+        rec.update(recon=r, ou=ou, ov=ov,
+                   sigma_max=float(np.asarray(s[0])))
+    log_result(label, **rec)
+    return rec
+
+
+def stage_jsmall(fast):
+    _run_jacobi(1024, 512, 0, "jsmall")
+
+
+def stage_jacobi(fast):
+    sizes = [4096] if fast else [4096, 8192]
+    for n in sizes:
+        _run_jacobi(n, 512, 1, "jacobi")
+
+
+def stage_jgraded(fast):
+    import numpy as np
+
+    from numpywren_tpu.models.jacobi import svd_jacobi
+
+    sizes = [2048] if fast else [2048, 4096]
+    for n in sizes:
+        x, sv = _logspace_dev(n, 1e4, seed=2)
+        t0 = time.perf_counter()
+        u, s, vt = svd_jacobi(x, block=512)
+        fetch_scalar(u[0, 0])
+        wall = time.perf_counter() - t0
+        r, ou, ov = _check_factors(x, u, s, vt)
+        s_host = np.asarray(s)
+        serr = float(np.max(np.abs(s_host - sv)))
+        log_result("jgraded", n=n, kappa=1e4, wall_s=round(wall, 1),
+                   recon=r, ou=ou, ov=ov, sigma_maxerr=serr)
+
+
+def stage_sigonly(fast):
+    n = 4096 if fast else 8192
+    _run_jacobi(n, 512, 3, "sigonly", compute_uv=False)
+
+
+STAGES = {
+    "peak": stage_peak,
+    "jsmall": stage_jsmall,
+    "jacobi": stage_jacobi,
+    "jgraded": stage_jgraded,
+    "sigonly": stage_sigonly,
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", nargs="*", default=None, choices=list(STAGES))
+    p.add_argument("--fast", action="store_true")
+    args = p.parse_args()
+    import jax
+
+    dev = jax.devices()[0]
+    log_result("session", device=dev.device_kind, platform=dev.platform,
+               fast=args.fast)
+    for name, fn in STAGES.items():
+        if args.only and name not in args.only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(args.fast)
+        except Exception as e:  # noqa: BLE001 — log and continue
+            import traceback
+
+            traceback.print_exc()
+            log_result(name, error=f"{type(e).__name__}: {e}")
+        log_result(name + "_done", stage_s=round(time.perf_counter() - t0, 1))
+
+
+if __name__ == "__main__":
+    main()

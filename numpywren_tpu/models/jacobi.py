@@ -36,12 +36,21 @@ so there is no GLOBAL Gram squaring — measured at kappa=1e4 fp32 the small
 sigmas carry ~6e-5 * sigma_max absolute error where an eig(A^T A) route
 would carry ~1e-3. The pair solve does square LOCALLY (eigh of the pair
 Gram orthogonalizes a sigma_i/sigma_j pair only to ~eps * ratio^2), which
-the CholeskyQR2 polish converts into a reconstruction floor of
+a bare CholeskyQR2 polish converts into a reconstruction floor of
 ~sqrt(eps) * sigma_max once kappa exceeds ~1/sqrt(eps) (~3e3 at fp32):
-recon 1.5e-5 at kappa <= 1e3, ~5e-4 at kappa = 1e4, with U^T U = I held at
-working precision throughout. (A graded-deflation polish — project each
-sigma tier against the tiers above before its within-tier CholQR — would
-restore recon ~ eps * sigma_max for graded spectra; not built.)
+measured 4.3e-4 at kappa=1e4. The GRADED polish (_graded_polish) removes
+that floor for graded spectra: sort columns by norm, slide sigma-windows
+of bounded ratio (step^span, default 8^3) down the spectrum, and within
+each window apply the eigh of the window Gram as an ORTHOGONAL mirror to
+both W and V — V stays exactly orthogonal and W @ Vt (= the
+reconstruction) is invariant under every mirror, unlike a projection,
+which deletes genuine A-mass from the trailing columns. Residual
+cross-window couplings are sigma-separated by >= step^(span-1), small
+enough that the final CholeskyQR2 touch-up moves only eps-level mass.
+Measured on the kappa ladder (128^2 logspace, fp32): recon 2.0-3.0e-6
+for kappa 1e2..1e6 (vs 1e-5..5.8e-4 with the bare CholQR2 polish),
+sigma max-error ~3e-7 * sigma_max, with BOTH orthogonalities at working
+precision.
 """
 
 from __future__ import annotations
@@ -165,29 +174,144 @@ def _cholqr_pass(u, *, prec):
     return solve_triangular(l, u.T, lower=True).T, l
 
 
-def _polish_u(u, prec):
+@functools.partial(__import__("jax").jit, static_argnames=("prec",))
+def _polish_u(u, *, prec):
     """CholeskyQR2 re-orthonormalization of U. After Jacobi convergence
-    U is orthonormal except between extreme-sigma-ratio column pairs
-    (the Gram-eigh rotations' eps*ratio^2 floor — see _off_rel), so
-    kappa(U) is modest and CholeskyQR is stable: two passes land at
-    working-precision orthogonality for two n^2 m GEMM-flops passes plus
-    two flat-latency custom calls — nothing like a full QR. Columns are
-    sigma-sorted DESCENDING, so the triangular solve orthogonalizes each
-    trailing (garbage-prone) column against the leading (accurate) ones,
-    never the reverse; the perturbation to A ~ U S Vt is sigma-weighted
-    and stays at the recon floor. Falls back to Householder QR (sign-
-    fixed) if a pass's Cholesky breaks (near-parallel garbage columns)."""
+    (and the graded mirrors, when they ran) U is orthonormal except for
+    eps-to-small couplings, so kappa(U) is modest and CholeskyQR is
+    stable: two passes land at working-precision orthogonality for two
+    n^2 m GEMM-flops passes plus two flat-latency custom calls — nothing
+    like a full QR. Columns are sigma-sorted DESCENDING, so the
+    triangular solve orthogonalizes each trailing (garbage-prone) column
+    against the leading (accurate) ones, never the reverse; the
+    perturbation to A ~ U S Vt is sigma-weighted and stays at the recon
+    floor. Falls back to Householder QR (sign-fixed) if a pass's
+    Cholesky breaks (near-parallel garbage columns) — the fallback is a
+    lax.cond branch so the whole polish stays on device: the previous
+    per-pass host fetch of the breakdown flag cost ~1 s each through the
+    axon tunnel (ADVICE r4 #3)."""
+    import jax
     import jax.numpy as jnp
 
-    for _ in range(2):
+    def qr_fix(u):
+        q, r = jnp.linalg.qr(u, mode="reduced")
+        sgn = jnp.sign(jnp.diagonal(r))
+        sgn = jnp.where(sgn == 0, 1.0, sgn).astype(u.dtype)
+        return q * sgn[None, :]
+
+    def one_pass(u):
         u2, l = _cholqr_pass(u, prec=prec)
-        if not bool(jnp.all(jnp.isfinite(l[-1, -1:]))):
-            q, r = jnp.linalg.qr(u, mode="reduced")
-            sgn = jnp.sign(jnp.diagonal(r))
-            sgn = jnp.where(sgn == 0, 1.0, sgn).astype(u.dtype)
-            return q * sgn[None, :]
-        u = u2
-    return u
+        ok = jnp.all(jnp.isfinite(jnp.diagonal(l)))
+        return jax.lax.cond(ok, lambda op: op[0], lambda op: qr_fix(op[1]),
+                            (u2, u))
+
+    return one_pass(one_pass(u))
+
+
+def _sigma_boundaries(s_host: np.ndarray, step: float, quantum: int):
+    """Column indices where sigma first drops below the previous
+    boundary's sigma / step, rounded DOWN to `quantum` multiples so the
+    set of jitted window shapes stays bounded across inputs (each
+    distinct (lo, hi) pair is one compile)."""
+    k = len(s_host)
+    bounds = [0]
+    t0 = float(s_host[0])
+    for j in range(1, k):
+        if s_host[j] < t0 / step:
+            jq = (j // quantum) * quantum
+            if jq > bounds[-1]:
+                bounds.append(jq)
+            t0 = float(s_host[j])
+    bounds.append(k)
+    return bounds
+
+
+@functools.partial(
+    __import__("jax").jit,
+    static_argnames=("lo", "hi", "prec"),
+    donate_argnames=("w", "vt"),
+)
+def _window_eigh_mirror(w, vt, *, lo: int, hi: int, prec):
+    """Orthogonal mirror on a sigma-window: Q = eigh(W_w^T W_w)
+    (descending), W_w <- W_w Q, Vt_w <- Q^T Vt_w. Q is orthogonal, so V
+    stays exactly orthogonal and W @ Vt is invariant — the mirror fixes
+    the window's internal orthogonality without touching the
+    reconstruction, which is what a projection-style deflation cannot do
+    (measured: mirrored-projection recon 1.1e-4 vs 3.3e-6 here at
+    kappa=1e4). The window's sigma ratio is bounded by step^span, so the
+    window Gram's eigh resolves its pairs far better than the sweep
+    phase's full-spectrum pair blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    ww = jax.lax.dynamic_slice(w, (0, lo), (w.shape[0], hi - lo))
+    g = jnp.matmul(ww.T, ww, precision=prec)
+    _, q = jnp.linalg.eigh(g)
+    q = q[:, ::-1]                                   # descending sigma
+    ww = jnp.matmul(ww, q, precision=prec)
+    w = jax.lax.dynamic_update_slice(w, ww, (0, lo))
+    vw = jax.lax.dynamic_slice(vt, (lo, 0), (hi - lo, vt.shape[1]))
+    vw = jnp.matmul(q.T, vw, precision=prec)
+    vt = jax.lax.dynamic_update_slice(vt, vw, (lo, 0))
+    return w, vt
+
+
+@functools.partial(__import__("jax").jit, donate_argnames=("w", "vt"))
+def _resort_by_norm(w, vt):
+    import jax.numpy as jnp
+
+    s = jnp.sqrt(jnp.sum(jnp.square(w), axis=0))
+    order = jnp.argsort(-s)
+    return jnp.take(w, order, axis=1), jnp.take(vt, order, axis=0), \
+        jnp.take(s, order)
+
+
+def _graded_polish(u, s, s_host, vt, prec, *, step=8.0, span=3, passes=2,
+                   quantum=32, s_keep=0.1):
+    """Sliding sigma-window orthogonal mirrors over W = U diag(s): see
+    the module docstring. Windows are [b_i, b_{i+span}) over the
+    step-ratio boundaries, TRIMMED at the top to the damaged region
+    sigma < s_keep * sigma_max: a pair's CholQR recon damage is
+    eps * sigma_max^2 / sigma_i, which only clears the ~1e-6 budget when
+    BOTH sigmas are small, so pairs with a large-sigma member never need
+    the mirror. The trim is what keeps this path cheap on benign
+    spectra: a random Gaussian matrix (kappa ~ 5n, but only a few
+    percent of columns below s_keep) gets a couple of tiny windows
+    (measured: two 32-column eighs at k=128) while a logspace spectrum
+    gets the full slide. Measured ladder at 128^2 fp32: recon 2-3e-6 and
+    sigma max-err ~3e-7 for kappa 1e2..1e6 (bare CholQR2: 1e-5..6e-4).
+
+    The whole pass repeats `passes` times with a descending re-sort and
+    boundary recompute in between (mirrors reorder columns within a
+    window); each extra pass costs one host fetch of the norms (~1 s
+    through the axon tunnel). Returns (u, s, vt) with U re-normalized;
+    the caller still runs the CholeskyQR2 touch-up, which now only moves
+    eps-level mass."""
+    import jax.numpy as jnp
+
+    w = u * s[None, :]
+    for p in range(passes):
+        if p > 0:
+            w, vt, s_dev = _resort_by_norm(w, vt)
+            s_host = np.asarray(s_dev)
+        if not float(s_host[0]) > 0:
+            break
+        cut = int(np.searchsorted(-s_host, -s_keep * float(s_host[0])))
+        cut = (cut // quantum) * quantum
+        bounds = _sigma_boundaries(s_host, step, quantum)
+        nb = len(bounds) - 1
+        done = set()
+        for bi in range(nb):
+            lo = max(bounds[bi], cut)
+            hi = bounds[min(bi + span, nb)]
+            if hi - lo < 2 or (lo, hi) in done:
+                continue
+            done.add((lo, hi))
+            w, vt = _window_eigh_mirror(w, vt, lo=int(lo), hi=int(hi),
+                                        prec=prec)
+    w, vt, s_new = _resort_by_norm(w, vt)
+    u = w / jnp.maximum(s_new, 1e-30)[None, :]
+    return u, s_new, vt
 
 
 @functools.partial(
@@ -323,13 +447,24 @@ def svd_jacobi(
         raise ValueError(f"svd_jacobi expects a matrix, got {x.shape}")
     m, n = x.shape
     if m < n:
+        # run on x.T and swap the factors back. polish is forwarded and
+        # rank_tol is applied HERE, to the swapped-back U (the recursion's
+        # V side) — forwarding it would complete the wide problem's Vt
+        # instead, contrary to the contract (ADVICE r4 #1)
         res = svd_jacobi(x.T, block=block, max_sweeps=max_sweeps, tol=tol,
                          precision=precision, compute_uv=compute_uv,
-                         rank_tol=rank_tol, _sweep_trace=_sweep_trace)
+                         polish=polish, rank_tol=0.0,
+                         _sweep_trace=_sweep_trace)
         if not compute_uv:
             return res
         u, s, vt = res
-        return vt.T, s, u.T
+        u_wide, vt_wide = vt.T, u.T
+        if rank_tol > 0:
+            prec_w = precision
+            if prec_w is None:
+                prec_w = jax.lax.Precision.HIGHEST
+            u_wide = _complete_rank_deficient(u_wide, s, rank_tol, prec_w)
+        return u_wide, s, vt_wide
     if n <= 8:
         # tiny problems: one host LAPACK call beats any device dispatch
         un, sn, vtn = np.linalg.svd(np.asarray(x), full_matrices=False)
@@ -355,6 +490,7 @@ def svd_jacobi(
     perms = jnp.asarray(roundrobin_schedule(g))
 
     prev = float("inf")
+    off = 0.0
     for _ in range(max_sweeps):
         w, v = _sweep(w, v, perms, g=g, b=b, prec=prec)
         off = float(_off_rel(w, prec=prec))
@@ -366,29 +502,61 @@ def svd_jacobi(
             # the fp roundoff floor — more sweeps only burn time)
             break
         prev = off
+    if off > tol ** 0.5:
+        # surface non-convergence instead of silently returning factors
+        # whose off-norm is far above tol (ADVICE r4 #2): the polish
+        # would force U^T U = I and mask a bad reconstruction. The
+        # sqrt(tol) bar leaves the normal stagnation exit (roundoff
+        # floor, a decade or so above tol) quiet.
+        import warnings
+
+        warnings.warn(
+            f"svd_jacobi did not converge: off-norm {off:.2e} > "
+            f"sqrt(tol) = {tol ** 0.5:.2e} after the sweep loop "
+            f"(max_sweeps={max_sweeps}); factors may reconstruct poorly",
+            RuntimeWarning, stacklevel=2)
 
     u, s, vt = _finish(w, v, n_keep=n)
     if not compute_uv:
         return s
     if polish:
-        r = int(np.count_nonzero(np.asarray(s)))
+        s_host = np.asarray(s)
+        r = int(np.count_nonzero(s_host))
+        # graded mirrors first, whenever any column sits below the
+        # damaged-region cut (sigma < s_keep * sigma_max) — the bare
+        # CholeskyQR2 would otherwise pay up to its sqrt(eps)*sigma_max
+        # recon floor on those columns' noise angles. The window trim
+        # makes this near-free for benign spectra (see _graded_polish).
+        if r >= 2 and float(s_host[0]) > 0 and \
+                float(s_host[0]) / float(s_host[r - 1]) > 10.0:
+            if r == s.shape[0]:
+                u, s, vt = _graded_polish(u, s, s_host, vt, prec)
+            else:
+                u2, s2g, vt2 = _graded_polish(
+                    u[:, :r], s[:r], s_host[:r], vt[:r], prec)
+                u = jnp.concatenate([u2, u[:, r:]], axis=1)
+                s = jnp.concatenate([s2g, s[r:]])
+                vt = jnp.concatenate([vt2, vt[r:]], axis=0)
+            polish_vt = True   # the mirrors' GEMM roundoff on Vt rows
+        else:
+            # cropping the padded V coordinates loses the mass that
+            # near-degenerate small-sigma pairs leaked into them
+            # (eigh mixes sigma_min^2 with the padding zeros at
+            # ~eps*lambda_max/sigma_min^2) — restore row
+            # orthonormality the same way
+            polish_vt = n_pad != n
         if r == s.shape[0]:
-            u = _polish_u(u, prec)
-            if n_pad != n:
-                # cropping the padded V coordinates loses the mass that
-                # near-degenerate small-sigma pairs leaked into them
-                # (eigh mixes sigma_min^2 with the padding zeros at
-                # ~eps*lambda_max/sigma_min^2) — restore row
-                # orthonormality the same way
-                vt = _polish_u(vt.T, prec).T
+            u = _polish_u(u, prec=prec)
+            if polish_vt:
+                vt = _polish_u(vt.T, prec=prec).T
         elif r:
             # zero columns would make the polish Gram exactly singular;
             # polish the nonzero prefix only (sigma is sorted descending)
-            u = jnp.concatenate([_polish_u(u[:, :r], prec), u[:, r:]],
+            u = jnp.concatenate([_polish_u(u[:, :r], prec=prec), u[:, r:]],
                                 axis=1)
-            if n_pad != n:
+            if polish_vt:
                 vt = jnp.concatenate(
-                    [_polish_u(vt[:r].T, prec).T, vt[r:]], axis=0)
+                    [_polish_u(vt[:r].T, prec=prec).T, vt[r:]], axis=0)
         if r:
             s2, order = _rayleigh_s(x, u, vt, prec=prec)
             s = s2

@@ -125,6 +125,246 @@ def _bucket_tiles(rows_t: int, g: int, mode: str) -> int:
                      "(expected exact|pow2|full)")
 
 
+def out_of_core_bdfac(
+    a: TiledMatrix,
+    panel_tiles: int = 4,
+    precision=None,
+    mesh=None,
+    stop_panels: Optional[int] = None,
+    shape_mode: str = "pow2",
+    out: Optional[TiledMatrix] = None,
+) -> TiledMatrix:
+    """Right-looking out-of-core block bidiagonalization of a host-tier
+    square TiledMatrix (SVD stage 1 beyond one chip's HBM — VERDICT r4
+    #6; the in-HBM counterpart is compiler.lower.fused_bdfac, reference
+    upstream:numpywren/algs.py::bdfac).
+
+    Per W-wide panel step (W = panel_tiles * tile): factor the column
+    panel on device (shifted CholeskyQR3 + Yamamoto reflector — the same
+    panel chain as the fused path), stream the trailing matrix through
+    HBM one column panel at a time applying H^T (two MXU GEMMs per
+    chunk), then LQ the row panel and stream the body once more applying
+    the right reflector. Device high-water mark: one panel + one chunk +
+    the reflector, regardless of N. Host<->device traffic: the trailing
+    matrix twice per step = O(N^3 / W) total — the classic out-of-core
+    price, paid to host RAM instead of the reference's S3.
+
+    Returns B: host-tier block bidiagonal with sigma(B) = sigma(a)
+    (orthogonal sweeps), band ku = 2W - 1 (diagonal panel blocks
+    upper-triangular, superdiagonal panel blocks lower-triangular except
+    the final one, which lands full — the fused path's shape).
+
+    mesh: every device-resident panel/chunk is sharded over the flat
+    device axis (rows for the QR side, columns for the LQ side) so
+    per-device HBM drops to 1/P — reflector algebra stays replicated
+    (b x b) and XLA inserts the psum for the sharded-contraction Grams,
+    exactly the out_of_core_cholesky(mesh=...) composition.
+
+    shape_mode: pow2 zero-pad bucketing of the shrinking panel heights /
+    trailing widths (O(log g) distinct compiled shapes — the remote TPU
+    compile service costs 30-90 s per trace). The padding is invariant:
+    padded panel rows are zero, so the CholeskyQR Gram, the Yamamoto
+    reflector (zero rows in W) and every apply act as identity on them;
+    padded row-panel columns likewise produce zero reflector columns.
+
+    stop_panels: factor only the first so-many panel steps (prefix runs,
+    the reference's truncate parameter at panel granularity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from numpywren_tpu.compiler.lower import (
+        _panel_lq_update_cholqr,
+        _panel_qr_update_cholqr,
+        _small_inv_t,
+    )
+    from numpywren_tpu.ops.common import default_precision
+
+    if a.shape[0] != a.shape[1] or a.tile[0] != a.tile[1]:
+        raise ShapeError("out_of_core_bdfac needs a square matrix / square tiles")
+    g = a.grid[0]
+    t = a.tile[0]
+    if g % panel_tiles:
+        raise ShapeError(
+            f"grid {g} not a multiple of panel_tiles {panel_tiles}")
+    if precision is None:
+        precision = default_precision(a.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    pt = panel_tiles
+    w = pt * t
+    n_panels = g // pt
+    if stop_panels is not None:
+        n_panels_run = min(n_panels, max(0, int(stop_panels)))
+    else:
+        n_panels_run = n_panels
+
+    b_out = out or TiledMatrix(
+        key=a.key + ":ooc_B", shape=a.shape, tile=a.tile, dtype=a.dtype,
+        storage="host",
+        parent_fn=lambda m, i, j: np.zeros(m.tile, m.dtype),
+    )
+    # working copy (mutated in place panel by panel)
+    work = TiledMatrix(
+        key=a.key + ":ooc_work", shape=a.shape, tile=a.tile, dtype=a.dtype,
+        storage="host",
+        parent_fn=lambda m, i, j: np.zeros(m.tile, m.dtype),
+    )
+    for i in range(g):
+        for j in range(g):
+            work.put_block(np.asarray(a.get_block(i, j)), i, j)
+
+    # mesh: flat device axis; QR-side operands row-sharded, LQ-side
+    # operands column-sharded, reflector algebra replicated
+    n_dev = 1
+    row_sh = col_sh = repl_sh = None
+    if mesh is not None:
+        from jax.sharding import Mesh as _Mesh
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        devs = mesh.devices.reshape(-1)
+        n_dev = len(devs)
+        mesh1d = _Mesh(devs, ("d",))
+        row_sh = NamedSharding(mesh1d, _P("d", None))
+        col_sh = NamedSharding(mesh1d, _P(None, "d"))
+        repl_sh = NamedSharding(mesh1d, _P())
+
+    def place(host_arr, axis=0):
+        if mesh is None:
+            return jax.device_put(jnp.asarray(host_arr))
+        sh = (row_sh if axis == 0 else col_sh) \
+            if host_arr.shape[axis] % n_dev == 0 else repl_sh
+        return jax.device_put(np.ascontiguousarray(host_arr), sh)
+
+    @jax.jit  # re-traces per bucketed panel shape: O(log g) shapes
+    def qr_panel(panel):
+        r, _, refl = _panel_qr_update_cholqr(
+            panel, None, precision, True, conv_tol=1e-5, fast_s=True,
+            small_precision=hp)
+        _, wv, _s_inv = refl
+        st = _small_inv_t(wv[:w], hp)        # S^T, folded once per panel
+        return r, wv, st
+
+    @jax.jit
+    def qr_panel_square(panel):
+        r, _ = _panel_qr_update_cholqr(panel, None, precision,
+                                       conv_tol=1e-5, fast_s=True,
+                                       small_precision=hp)
+        return r
+
+    @jax.jit
+    def apply_qt(chunk, wv, st):
+        # H^T chunk = chunk - W S^T (W^T chunk)
+        w1 = jnp.matmul(wv.T, chunk, precision=precision)
+        sw1 = jnp.matmul(st, w1, precision=precision)
+        return chunk - jnp.matmul(wv, sw1, precision=precision)
+
+    @jax.jit
+    def lq_panel(row_pan):
+        l_blk, _, refl = _panel_lq_update_cholqr(
+            row_pan, None, precision, True, conv_tol=1e-5, fast_s=True,
+            small_precision=hp)
+        _, wr, _s_inv = refl
+        s_row = _small_inv_t(wr[:, :w].T, hp).T   # S_row, folded once
+        return l_blk, wr, s_row
+
+    @jax.jit
+    def apply_h_right(chunk, wr, s_row):
+        # chunk H = chunk - ((chunk W) S) W^T, row form
+        u1 = jnp.matmul(chunk, wr.T, precision=precision)
+        u1s = jnp.matmul(u1, s_row, precision=precision)
+        return chunk - jnp.matmul(u1s, wr, precision=precision)
+
+    def load(r0_t, c0_t, rows_t, cols_t, rows_bt=None, cols_bt=None,
+             axis=0):
+        arr = _panel_from_host(work, r0_t, c0_t, rows_t, cols_t)
+        pad_r = ((rows_bt or rows_t) - rows_t) * t
+        pad_c = ((cols_bt or cols_t) - cols_t) * t
+        if pad_r or pad_c:
+            arr = np.pad(arr, ((0, pad_r), (0, pad_c)))
+        return place(arr, axis=axis)
+
+    def store(dev_arr, r0_t, c0_t, rows_t, cols_t, target=None):
+        real = dev_arr
+        if dev_arr.shape[0] > rows_t * t or dev_arr.shape[1] > cols_t * t:
+            real = jax.lax.dynamic_slice(
+                dev_arr, (0, 0), (rows_t * t, cols_t * t))
+        _panel_to_host(target if target is not None else work,
+                       np.asarray(real), r0_t, c0_t)
+
+    for s in range(n_panels_run):
+        c0_t = s * pt
+        c1_t = c0_t + pt
+        rows_t = g - c0_t                    # panel height in tiles
+        rows_bt = _bucket_tiles(rows_t, g, shape_mode)
+        if rows_t == pt:                     # final square panel: R only
+            panel = load(c0_t, c0_t, rows_t, pt)
+            store(qr_panel_square(panel), c0_t, c0_t, pt, pt, target=b_out)
+            break
+        # 1. column-panel QR + reflector
+        panel = load(c0_t, c0_t, rows_t, pt, rows_bt=rows_bt)
+        r, wv, st = qr_panel(panel)
+        store(r[: w], c0_t, c0_t, pt, pt, target=b_out)
+        # 2. stream H^T over the trailing columns (writes back through
+        #    host — the row panel below is re-read with updates applied)
+        for q in range(s + 1, n_panels):
+            chunk = load(c0_t, q * pt, rows_t, pt, rows_bt=rows_bt)
+            store(apply_qt(chunk, wv, st), c0_t, q * pt, rows_t, pt)
+        remaining = n_panels - s - 1         # superdiagonal panels left
+        cols_t = g - c1_t
+        if remaining >= 2:
+            # 3. row-panel LQ + right reflector streamed over the body
+            cols_bt = _bucket_tiles(cols_t, g, shape_mode)
+            row_pan = load(c0_t, c1_t, pt, cols_t, cols_bt=cols_bt, axis=1)
+            l_blk, wr, s_row = lq_panel(row_pan)
+            store(l_blk, c0_t, c1_t, pt, pt, target=b_out)
+            for i in range(c1_t, g, pt):
+                chunk = load(i, c1_t, pt, cols_t, cols_bt=cols_bt, axis=1)
+                store(apply_h_right(chunk, wr, s_row), i, c1_t, pt, cols_t)
+        else:
+            # single superdiagonal panel: lands in B as-is
+            blk = _panel_from_host(work, c0_t, c1_t, pt, cols_t)
+            _panel_to_host(b_out, blk, c0_t, c1_t)
+    return b_out
+
+
+def out_of_core_singular_values(
+    a: TiledMatrix,
+    panel_tiles: int = 4,
+    precision=None,
+    mesh=None,
+) -> np.ndarray:
+    """All singular values of a host-tier square TiledMatrix that never
+    fits one chip's HBM: out_of_core_bdfac streams the reduction to a
+    block-bidiagonal B (band ku = 2 * panel_tiles * tile - 1: the last
+    superdiagonal panel lands untightened, like the fused path), then
+    only the band (O(n * W) floats) is packed for the host LAPACK
+    dgbbrd+dbdsdc finish — the models.singular_values contract at
+    out-of-core scale."""
+    from numpywren_tpu.models.band import band_sigma_packed
+
+    b_mat = out_of_core_bdfac(a, panel_tiles=panel_tiles,
+                              precision=precision, mesh=mesh)
+    n = a.shape[0]
+    t = a.tile[0]
+    ku = min(2 * panel_tiles * t - 1, n - 1)
+    ab = np.zeros((ku + 1, n), dtype=np.float64, order="F")
+    off_max = cdiv(ku, t)
+    for i_t in range(b_mat.grid[0]):
+        for j_t in range(i_t, min(i_t + off_max + 1, b_mat.grid[1])):
+            blk = np.asarray(b_mat.get_block(i_t, j_t), np.float64)
+            r0, c0 = i_t * t, j_t * t
+            for jj in range(blk.shape[1]):
+                j = c0 + jj
+                if j >= n:
+                    break
+                i0 = max(r0, j - ku)
+                i1 = min(r0 + blk.shape[0], j + 1, n)
+                if i1 > i0:
+                    ab[ku + i0 - j: ku + i1 - j, j] += blk[i0 - r0: i1 - r0,
+                                                           jj]
+    return band_sigma_packed(ab, n, n, 0, ku)[:n]
+
+
 def out_of_core_cholesky(
     a: TiledMatrix,
     panel_tiles: int = 4,

@@ -401,3 +401,78 @@ def test_ooc_shape_modes_parity(mode):
     ln = np.tril(l.numpy())
     ref = scipy.linalg.cholesky(a.astype(np.float64), lower=True)
     np.testing.assert_allclose(ln, ref, rtol=5e-3, atol=5e-4)
+
+
+def test_ooc_bdfac_sigma_parity():
+    """VERDICT r4 #6: out-of-core SVD stage 1 — a host-tier square matrix
+    streamed through the right-looking panel bidiagonalization; sigma(B)
+    must equal sigma(A) to fp32-pipeline grade."""
+    from numpywren_tpu.runtime.spill import out_of_core_bdfac
+
+    rng = np.random.default_rng(7)
+    n, tile = 192, 16
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    at = shard_matrix(a, tile=(tile, tile), storage="host")
+    b = out_of_core_bdfac(at, panel_tiles=4)
+    bn = b.numpy()
+    # band structure: ku = 2W - 1 (last super panel untightened), kl = 0
+    w = 4 * tile
+    assert np.abs(np.tril(bn, -1)).max() < 1e-5
+    assert np.abs(np.triu(bn, 2 * w)).max() < 1e-5
+    s = np.linalg.svd(bn.astype(np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=1e-4 * s_ref[0])
+
+
+def test_ooc_singular_values_band_finish():
+    """End-to-end out-of-core sigma: bdfac stream + packed-band LAPACK
+    finish (falls back quietly if no LAPACK dgbbrd is available)."""
+    from numpywren_tpu.models.band import lapack_available
+    from numpywren_tpu.runtime.spill import out_of_core_singular_values
+
+    if not lapack_available():
+        pytest.skip("no LAPACK dgbbrd on this host")
+    rng = np.random.default_rng(8)
+    n, tile = 128, 16
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    at = shard_matrix(a, tile=(tile, tile), storage="host")
+    s = out_of_core_singular_values(at, panel_tiles=2)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=1e-4 * s_ref[0])
+
+
+def test_ooc_bdfac_mesh_composition():
+    """mesh x spill for the SVD stage 1 (VERDICT r4 #6): QR-side panels
+    row-sharded, LQ-side panels column-sharded over the 8 virtual
+    devices; same sigma parity."""
+    import jax
+
+    from numpywren_tpu.parallel.mesh import make_mesh
+    from numpywren_tpu.runtime.spill import out_of_core_bdfac
+
+    rng = np.random.default_rng(9)
+    n, tile = 256, 16
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    at = shard_matrix(a, tile=(tile, tile), storage="host")
+    mesh = make_mesh(jax.devices())
+    assert mesh.devices.size == 8
+    b = out_of_core_bdfac(at, panel_tiles=4, mesh=mesh)
+    s = np.linalg.svd(b.numpy().astype(np.float64), compute_uv=False)
+    s_ref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    np.testing.assert_allclose(s, s_ref, rtol=2e-3, atol=1e-4 * s_ref[0])
+
+
+def test_ooc_bdfac_prefix_stop():
+    """stop_panels prefix run: the first panels' B blocks land; later
+    panels untouched (zero)."""
+    from numpywren_tpu.runtime.spill import out_of_core_bdfac
+
+    rng = np.random.default_rng(10)
+    n, tile = 128, 16
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    at = shard_matrix(a, tile=(tile, tile), storage="host")
+    b = out_of_core_bdfac(at, panel_tiles=2, stop_panels=2)
+    bn = b.numpy()
+    w = 2 * tile
+    assert np.abs(bn[: 2 * w]).max() > 0          # prefix factored
+    assert np.abs(bn[2 * w:]).max() == 0          # rest untouched
