@@ -484,6 +484,23 @@ def singular_values(x, tile: int = None, finish: str = "band",
     return s[:n]
 
 
+def _route_default_method(shape, platform: str = None) -> str:
+    """svd(method=None) routing (VERDICT r4 #2): large with-vectors
+    inputs on a TPU backend go to the all-device block-Jacobi path —
+    measured on-chip (experiments/results/onchip_r05.jsonl, TPU v5e):
+    n=4096 in 6.6 s / n=8192 in 39.4 s warm with vectors (recon 1.3e-5 /
+    2.4e-5, both orthogonalities ~3e-7) vs the bdfac pipeline's ~520 s
+    host-gesdd finish at 8192. Small inputs and CPU backends keep the
+    bdfac two-stage (on a 1-core host the Jacobi sweeps' O(n^3) per
+    sweep is slower than one gesdd)."""
+    if platform is None:
+        import jax
+
+        platform = jax.devices()[0].platform
+    return ("jacobi"
+            if platform == "tpu" and min(shape) >= 4096 else "bdfac")
+
+
 def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         accum_precision="highest", method: str = None,
         uv_finish: str = "host"
@@ -515,12 +532,14 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
     making the sweeps HIGHEST too); pass None to run accumulators at
     `precision`.
 
-    method: None/"bdfac" (default) = the two-stage pipeline below;
+    method: None (default) routes by size and backend (see
+    _route_default_method: min dim >= 4096 on TPU -> "jacobi", measured
+    39.4 s warm at n=8192 with vectors vs ~520 s via the host finish;
+    else "bdfac"); "bdfac" = the two-stage pipeline below;
     "jacobi" = all-device one-sided block Jacobi (models.svd_jacobi —
-    batched pair Grams/eighs/rotations, no host O(n^3) stage: the
-    with-vectors route at n >= 8192, where this pipeline's host gesdd
-    finish costs ~520 s on a 1-core host; recon ~1.5e-5, U/V
-    orthogonality ~3e-7 at kappa <= 1e3 fp32);
+    batched pair Grams/eighs/rotations + the graded sigma-window polish,
+    no host O(n^3) stage; on-chip at 8192: recon 2.4e-5, U/V
+    orthogonality ~3.5e-7);
     "qdwh" = the all-device QDWH polar + spectral divide-and-conquer SVD
     (no bdfac, no host stage, any shape; recon ~1.6e-6 at 512^2 fp32).
     Measured caveat (2026-08-19, TPU v5e via the axon tunnel): jax's
@@ -556,6 +575,8 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         raise ValueError(f"svd expects a matrix, got {x.shape}")
     if method not in (None, "bdfac", "qdwh", "jacobi"):
         raise ValueError(f"unknown svd method {method!r}")
+    if method is None:
+        method = _route_default_method(x.shape)
     if method == "jacobi":
         # all-device full SVD by one-sided block Jacobi (models.jacobi):
         # batched pair Grams + batched small eighs + GEMM rotations — the

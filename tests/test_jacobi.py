@@ -215,3 +215,15 @@ def test_svd_method_jacobi_dispatch(rng):
     u, s, vt = models.svd(x, method="jacobi", tile=32)
     assert isinstance(u, np.ndarray)
     _check(x, u, s, vt)
+
+
+def test_default_routing_large_tpu():
+    """VERDICT r4 #2: svd(method=None) routes large with-vectors inputs
+    to the Jacobi path on a TPU backend, keeps bdfac on CPU/small."""
+    from numpywren_tpu.models.svd import _route_default_method
+
+    assert _route_default_method((8192, 8192), "tpu") == "jacobi"
+    assert _route_default_method((4096, 8192), "tpu") == "jacobi"
+    assert _route_default_method((2048, 2048), "tpu") == "bdfac"
+    assert _route_default_method((8192, 8192), "cpu") == "bdfac"
+    assert _route_default_method((8192, 512), "tpu") == "bdfac"
