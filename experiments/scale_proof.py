@@ -141,6 +141,23 @@ def main():
            "gflops_per_s": round(flops / wall / 1e9, 2),
            "devices": args.devices, "platform": dev.platform,
            "operand_bytes_logical": 4 * n * n}
+    # compile accounting (VERDICT r4 #3): pow2 bucketing must keep the
+    # jit retrace count O(log g) — assert <= 2*log2(g) + 4 per fn vs the
+    # exact mode's O(g). Recorded from the jit caches themselves.
+    stats = getattr(l, "spill_stats", None)
+    if stats is not None:
+        rec["update_compiles"] = stats["update_compiles"]
+        rec["factor_compiles"] = stats["factor_compiles"]
+        rec["host_strip_loads"] = stats["host_strip_loads"]
+        rec["shape_mode"] = stats["shape_mode"]
+        if args.shape_mode == "pow2":
+            import math
+
+            bound = 2 * math.log2(max(2, g)) + 4
+            rec["compile_bound"] = round(bound, 1)
+            rec["compile_ok"] = bool(
+                stats["update_compiles"] <= bound
+                and stats["factor_compiles"] <= bound)
 
     # --- verification ---------------------------------------------------
     # (a) leading block: Cholesky is leading-principal local, so
@@ -181,7 +198,8 @@ def main():
         errs.append(float(np.max(np.abs(rec_row - a_row)) /
                           np.max(np.abs(a_row))))
     rec["row_block_maxerr"] = max(errs) if errs else None
-    ok = lead_err < 5e-4 and (not errs or max(errs) < 5e-4)
+    ok = lead_err < 5e-4 and (not errs or max(errs) < 5e-4) \
+        and rec.get("compile_ok", True)
     rec["ok"] = bool(ok)
 
     os.makedirs(os.path.dirname(RESULTS), exist_ok=True)

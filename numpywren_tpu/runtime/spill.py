@@ -693,4 +693,19 @@ def out_of_core_cholesky(
     for fut in writer_futures.values():
         fut.result()
 
+    # compile accounting for the O(log g) pow2-bucketing claim: each
+    # jitted fn retraces once per distinct operand shape, so the jit cache
+    # sizes ARE the compile counts (scale_proof asserts them against the
+    # 2*log2(g)+const bound on the real chip)
+    try:
+        l_out.spill_stats = {
+            "update_compiles": update._cache_size(),
+            "factor_compiles": factor_panel._cache_size(),
+            "host_strip_loads": a.load_count,
+            "panels": n_panels - start_panel,
+            "shape_mode": shape_mode,
+        }
+    except AttributeError:  # older jax without _cache_size
+        l_out.spill_stats = None
+
     return l_out
