@@ -32,6 +32,7 @@ has no fused specialization (the generic executor then runs it).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional
 
 import jax
@@ -560,31 +561,26 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
     # the chain's large-operand GEMMs (4 m b^2 flops total, CholeskyQR1
     # cost, vs CholeskyQR2's 8 m b^2)
     g1, _, _ = gram_dev(p)
-    l1, linv1 = shifted_linv(g1)
-    g2 = small_gram_update(g1, linv1)
-    e2 = g2 - eye
-    dev2 = jnp.max(jnp.abs(e2))
-    if "factor" in _ABLATE:  # pin the converged-run control flow: cleanup
-        # branch on pass 2, zero-trip extras while (see _ABLATE)
-        dev2 = jnp.float32(0.0)
-    # the analytic G2 is NOT a real Gram: its fp roundoff
-    # (~u ||L1^{-1}||^2 ||G1||) can push a near-singular G2 indefinite and
-    # NaN the chol (observed at kappa=1e6, b=16) — shift past that bound
-    rb1 = jnp.max(jnp.sum(jnp.abs(linv1), axis=1))
-    err2 = 3.0 * u * rb1 * rb1 * jnp.max(jnp.sum(jnp.abs(g1), axis=1))
-    l2, linv2 = lax.cond(dev2 < 1e-1,
-                         lambda e_, g_: neumann_linv(e_),
-                         lambda e_, g_: shifted_linv(g_, err2),
-                         e2, g2)
-    linv_tot = jnp.matmul(linv2, linv1, precision=hp)
-    # converged ONLY via the cleanup branch: a shifted pass 2 carries the
-    # err2-inflated shift in its factor, so such panels must fall through
-    # to the real-Gram extras, which correct everything the analytic path
-    # cannot see (measured: stopping there cost 1e-4-grade absolute sigma
-    # error on moderately conditioned panels). Within the cleanup branch
-    # the input dev predicts the output: dev2 < conv_gate => out < tol.
-    conv = dev2 < conv_gate
-    q = apply_linv(p, linv_tot)
+
+    # NPW_PALLAS_CHAIN=1 opts the pass-1-2 fold path into the ONE-LAUNCH
+    # Pallas chain kernel (ops/pallas_factor.cholqr2_chain_pallas):
+    # shifted factor + explicit inverse + analytic Gram + cleanup/full
+    # pass 2 + folded inverse + the big apply, all in a single kernel —
+    # the VERDICT r4 #5 lever (collapse the per-panel custom-call bill
+    # into one dispatch). Semantics are identical to the lines below; the
+    # extras while_loop is shared. Measured numbers in BENCH.md round 5.
+    _chained = False
+    if (psum_axes is None and not _ABLATE
+            and os.environ.get("NPW_PALLAS_CHAIN", "0") == "1"):
+        from numpywren_tpu.ops.pallas_factor import (chain_supported,
+                                                     cholqr2_chain_pallas)
+
+        mm = p.shape[1] if rows else p.shape[0]
+        if chain_supported(mm, b, p.dtype):
+            q, total, conv, _dev2 = cholqr2_chain_pallas(
+                g1, p, rows=rows, shift_c=float(shift_c),
+                conv_gate=float(conv_gate), precision=precision)
+            _chained = True
 
     # incremental composition of the R factor: rows form p = L1 L2 ... q
     # folds on the right; column form p = q (Lk^T ... L1^T) folds new
@@ -592,13 +588,38 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
     if rows:
         def fold(total, li):
             return jnp.matmul(total, li, precision=hp)
-
-        total = fold(l1, l2)
     else:
         def fold(total, li):
             return jnp.matmul(li.T, total, precision=hp)
 
-        total = fold(l1.T, l2)
+    if not _chained:
+        l1, linv1 = shifted_linv(g1)
+        g2 = small_gram_update(g1, linv1)
+        e2 = g2 - eye
+        dev2 = jnp.max(jnp.abs(e2))
+        if "factor" in _ABLATE:  # pin the converged-run control flow:
+            # cleanup branch on pass 2, zero-trip extras while (see _ABLATE)
+            dev2 = jnp.float32(0.0)
+        # the analytic G2 is NOT a real Gram: its fp roundoff
+        # (~u ||L1^{-1}||^2 ||G1||) can push a near-singular G2 indefinite
+        # and NaN the chol (observed at kappa=1e6, b=16) — shift past that
+        rb1 = jnp.max(jnp.sum(jnp.abs(linv1), axis=1))
+        err2 = 3.0 * u * rb1 * rb1 * jnp.max(jnp.sum(jnp.abs(g1), axis=1))
+        l2, linv2 = lax.cond(dev2 < 1e-1,
+                             lambda e_, g_: neumann_linv(e_),
+                             lambda e_, g_: shifted_linv(g_, err2),
+                             e2, g2)
+        linv_tot = jnp.matmul(linv2, linv1, precision=hp)
+        # converged ONLY via the cleanup branch: a shifted pass 2 carries
+        # the err2-inflated shift in its factor, so such panels must fall
+        # through to the real-Gram extras, which correct everything the
+        # analytic path cannot see (measured: stopping there cost
+        # 1e-4-grade absolute sigma error on moderately conditioned
+        # panels). Within the cleanup branch the input dev predicts the
+        # output: dev2 < conv_gate => out < tol.
+        conv = dev2 < conv_gate
+        q = apply_linv(p, linv_tot)
+        total = fold(l1, l2) if rows else fold(l1.T, l2)
 
     if max_passes <= 2:
         return q, total

@@ -91,9 +91,17 @@ def _potrf_inv_kernel(a_ref, l_ref, w_ref, *, n):
     cholesky + triangular_solve custom calls each pay their own blocked
     diag-invert machinery (profiled ~0.28 ms/panel combined at b=512
     inside fused bdfac)."""
-    hp = lax.Precision.HIGHEST
     l_ref[:] = a_ref[:]
-    w_ref[:] = jnp.zeros((n, n), a_ref.dtype)
+    _potrf_inv_into(l_ref, w_ref, n=n)
+
+
+def _potrf_inv_into(l_ref, w_ref, *, n):
+    """Ref-based blocked (L, L^{-1}): expects l_ref PRELOADED with the SPD
+    operand; factors in place (strict upper zeroed) and leaves the inverse
+    in w_ref. Static ref-slice writes only — the update form Mosaic
+    lowers (dynamic_update_slice on VALUES inside a kernel does not)."""
+    hp = lax.Precision.HIGHEST
+    w_ref[:] = jnp.zeros((n, n), l_ref.dtype)
     nb = n // _B
     for j0 in range(0, n, _B):
         l_blk, w = _factor_block_with_inverse(l_ref[j0:j0 + _B, j0:j0 + _B])
@@ -105,13 +113,17 @@ def _potrf_inv_kernel(a_ref, l_ref, w_ref, *, n):
             l_ref[j0 + _B:, j0:j0 + _B] = x
             trail = l_ref[j0 + _B:, j0 + _B:]
             l_ref[j0 + _B:, j0 + _B:] = trail - jnp.matmul(x, x.T, precision=hp)
+    # zero the strict upper triangle (the loop leaves stale values there).
+    # NB per-128-row-stripe masking measured WORSE on VMEM stack than the
+    # full-matrix form (Mosaic appears not to reuse the per-stripe
+    # temporaries): 20.4M vs 16.4M total in the chain kernel at n=512
     r = lax.broadcasted_iota(jnp.int32, (n, n), 0)
     c = lax.broadcasted_iota(jnp.int32, (n, n), 1)
     l_ref[:] = jnp.where(r >= c, l_ref[:], 0.0)
     # off-diagonal inverse blocks: W[i,j] = -W[i,i] (sum_k L[i,k] W[k,j])
     for j in range(nb):
         for i in range(j + 1, nb):
-            acc = jnp.zeros((_B, _B), a_ref.dtype)
+            acc = jnp.zeros((_B, _B), l_ref.dtype)
             for k in range(j, i):
                 acc = acc + jnp.matmul(
                     l_ref[i * _B:(i + 1) * _B, k * _B:(k + 1) * _B],
@@ -406,3 +418,174 @@ def qr_pallas(a: jax.Array, *, interpret: bool = None):
     if not _qr_supported(m, n, a.dtype):
         return jnp.linalg.qr(a, mode="reduced")
     return _qr_call(m, n, interpret)(a)
+
+
+# ---------------------------------------------------------------------------
+# One-launch CholeskyQR2 panel chain (VERDICT r4 #5: the whole
+# factor + small-inv + apply chain in a single kernel)
+# ---------------------------------------------------------------------------
+
+def _cholqr2_chain_kernel(g_ref, x_ref, q_ref, total_ref, stat_ref,
+                          l1_scr, w1_scr, linv_scr,
+                          *, n, tm, rows, shift_c, conv_gate, apply_prec):
+    """Grid step 0 runs the ENTIRE small-algebra chain of
+    compiler.lower._cholqr_adaptive's pass-1-2 fold path in VMEM:
+    always-shifted factor + explicit inverse (pass 1), analytic Gram
+    update, pass 2 as the first-order Neumann cleanup (identity fold on
+    the rare dev >= 0.1 panel — the caller's extras loop converges it),
+    folded inverse into scratch, folded R into `total`, (dev2, conv)
+    into `stat`. Steps >= 1 stream the (m, n) operand through VMEM tiles
+    applying the folded inverse — so ONE launch replaces the chain's two
+    custom calls plus every small GEMM and the big apply between them.
+    All factor updates are static ref-slice writes (_potrf_inv_into):
+    Mosaic lowers neither .at[].set scatters nor dynamic_update_slice on
+    values inside a kernel."""
+    i = pl.program_id(0)
+    hp = lax.Precision.HIGHEST
+
+    @pl.when(i == 0)
+    def _():
+        eye = jnp.eye(n, dtype=jnp.float32)
+        g = g_ref[:]  # read ONCE: every ref read materializes its own
+        # VMEM copy (two g reads measured +3-4M of scoped stack)
+        rs_g = jnp.max(jnp.sum(jnp.abs(g), axis=1))
+        floor = shift_c * rs_g
+        l1_scr[:] = g + floor * eye
+        _potrf_inv_into(l1_scr, w1_scr, n=n)
+        w1 = w1_scr[:]
+        # analytic pass-2 Gram via the EXACT identity
+        # G2 = W1 (Gs - floor I) W1^T = I - floor W1 W1^T: one symmetric
+        # (n, n) GEMM instead of two and G2 itself never materializes
+        # (the cleanup consumes only E2). The floor-leak term dominates
+        # the factor-roundoff term this form drops (both ~ kappa^2, the
+        # leak carries the extra 4 sqrt(mb) factor), so the conv gate
+        # stays conservative.
+        e2 = (-floor) * jnp.matmul(w1, w1.T, precision=hp)
+        dev2 = jnp.max(jnp.abs(e2))
+
+        def write_fold(l2, li2):
+            # folded inverse for the apply; folded R into total (l2/li2
+            # never persist — scoped-VMEM stack is the binding constraint:
+            # v5e has 16M and this kernel measured 16.4-23.5M in its
+            # larger-scratch/straight-line variants)
+            linv_scr[:] = jnp.matmul(li2, w1, precision=hp)
+            if rows:
+                total_ref[:] = jnp.matmul(l1_scr[:], l2, precision=hp)
+            else:
+                total_ref[:] = jnp.matmul(l2.T, l1_scr[:].T, precision=hp)
+
+        # pass 2: first-order Neumann cleanup, valid for dev2 < 0.1. On
+        # the RARE dev2 >= 0.1 panel the fold is the IDENTITY (pass 2
+        # skipped) and conv stays false, so the caller's extras
+        # while_loop runs real-Gram passes on the valid pass-1 iterate —
+        # same convergence policy as the XLA path's shifted analytic
+        # pass 2 + extras, at most one extra real pass there. (A second
+        # in-kernel factor for that branch does not fit the VMEM stack.)
+        @pl.when(dev2 < 1e-1)
+        def _():
+            m_ = jnp.tril(e2, -1) + jnp.diag(0.5 * jnp.diagonal(e2))
+            m2 = jnp.matmul(m_, m_, precision=hp)
+            ip2 = eye + m2
+            li2 = ip2 - jnp.matmul(ip2, m_, precision=hp)
+            m4 = jnp.matmul(m2, m2, precision=hp)
+            write_fold(jnp.matmul(eye + m4, eye + m_, precision=hp), li2)
+
+        @pl.when(dev2 >= 1e-1)
+        def _():
+            write_fold(eye, eye)
+
+        conv = (dev2 < conv_gate).astype(jnp.float32)
+        stat_ref[:] = jnp.concatenate(
+            [dev2.reshape(1, 1), conv.reshape(1, 1)], axis=1)
+
+    # every step (including 0, whose body above runs first) applies the
+    # folded inverse to its (tm, n) stream block — same-step ordering is
+    # sequential inside the kernel, so block 0 sees the fresh linv
+    if rows:
+        q_ref[:] = jnp.matmul(linv_scr[:], x_ref[:], precision=apply_prec)
+    else:
+        q_ref[:] = jnp.matmul(x_ref[:], linv_scr[:].T, precision=apply_prec)
+
+
+def _chain_tm(m: int, n: int) -> int:
+    # x + q stream tiles at 1 MB each: the kernel's VMEM bill is already
+    # ~7 MB of (n, n) buffers at n=512 (measured 23.5M > the 16M scoped
+    # limit with 5 scratch + 2 MB tiles)
+    for tm in (2048, 1024, 512, 256, 128):
+        if m % tm == 0 and tm * n * 4 <= (1 << 18):
+            return tm
+    return 0
+
+
+def _chain_supported(m: int, n: int, dtype) -> bool:
+    # n <= 256: at n=512 the step-0 body's temporaries SUM to 16.4-23.5M
+    # of scoped-VMEM stack (Mosaic allocates one buffer per value, no
+    # reuse — measured across six restructurings, 2026-08-19) against the
+    # 16M v5e limit; b=256 panels fit
+    return (n % _B == 0 and n <= 256 and m >= n and dtype == jnp.float32
+            and _chain_tm(m, n) > 0)
+
+
+@functools.lru_cache(maxsize=16)
+def _chain_call(m: int, n: int, rows: bool, shift_c: float,
+                conv_gate: float, apply_prec, interpret: bool):
+    from jax.experimental.pallas import tpu as pltpu
+
+    tm = _chain_tm(m, n)
+    steps = m // tm
+    if rows:
+        x_spec = pl.BlockSpec((n, tm), lambda i: (0, i))
+        q_spec = pl.BlockSpec((n, tm), lambda i: (0, i))
+        x_shape, q_shape = (n, m), (n, m)
+    else:
+        x_spec = pl.BlockSpec((tm, n), lambda i: (i, 0))
+        q_spec = pl.BlockSpec((tm, n), lambda i: (i, 0))
+        x_shape, q_shape = (m, n), (m, n)
+    return jax.jit(pl.pallas_call(
+        functools.partial(_cholqr2_chain_kernel, n=n, tm=tm, rows=rows,
+                          shift_c=shift_c, conv_gate=conv_gate,
+                          apply_prec=apply_prec),
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((n, n), lambda i: (0, 0)), x_spec],
+        out_specs=(q_spec,
+                   pl.BlockSpec((n, n), lambda i: (0, 0)),
+                   pl.BlockSpec((1, 2), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct(q_shape, jnp.float32),
+                   jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 2), jnp.float32)),
+        scratch_shapes=tuple(pltpu.VMEM((n, n), jnp.float32)
+                             for _ in range(3)),
+        interpret=interpret,
+    ))
+
+
+def cholqr2_chain_pallas(g, p, *, rows: bool, shift_c: float,
+                         conv_gate: float, precision=None,
+                         interpret: bool = None):
+    """One-launch CholeskyQR2 pass-1-2 chain (see _cholqr2_chain_kernel):
+    returns (q, total, conv, dev2) with p = q @ total (rows=False) or
+    p = total @ q (rows=True), matching compiler.lower._cholqr_adaptive's
+    fold-path semantics exactly — the extras while_loop stays with the
+    caller. Raises ValueError outside the envelope (fp32, n <= 512,
+    128 | n, 128-divisible m >= n); callers gate on _chain_supported via
+    this module's chain_supported()."""
+    if precision is None:
+        precision = lax.Precision.HIGHEST
+    if interpret is None:
+        from numpywren_tpu.ops.common import on_tpu
+
+        interpret = not on_tpu()
+    b = p.shape[0] if rows else p.shape[1]
+    m = p.shape[1] if rows else p.shape[0]
+    if not _chain_supported(m, b, p.dtype) or g.shape != (b, b):
+        raise ValueError(f"cholqr2_chain_pallas: unsupported shapes "
+                         f"m={m} b={b} dtype={p.dtype}")
+    q, total, stat = _chain_call(m, b, bool(rows), float(shift_c),
+                                 float(conv_gate), precision,
+                                 interpret)(g, p)
+    return q, total, stat[0, 1] > 0.5, stat[0, 0]
+
+
+def chain_supported(m: int, n: int, dtype) -> bool:
+    """Public envelope check for cholqr2_chain_pallas."""
+    return _chain_supported(m, n, dtype)
