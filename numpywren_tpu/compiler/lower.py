@@ -345,7 +345,7 @@ def _panel_qr_update(panel, trailing, precision, want_reflector=False):
 
 
 def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None,
-              gemm_inv=None):
+              gemm_inv=None, pallas_chain=None):
     """Thin QR of tall `p` by shifted CholeskyQR3 (same scheme as
     fused_cholqr3s_fn, inlined for composition inside larger jits): the
     shifted first pass cannot break down — plain CholeskyQR(2) panels DO
@@ -356,7 +356,7 @@ def _cholqr3s(p, precision, conv_tol: float = 1e-4, small_precision=None,
     preservation) depends on. See _cholqr_adaptive for the pass policy."""
     return _cholqr_adaptive(p, precision, rows=False, conv_tol=conv_tol,
                             small_precision=small_precision,
-                            gemm_inv=gemm_inv)
+                            gemm_inv=gemm_inv, pallas_chain=pallas_chain)
 
 
 # Perf-ablation hook (experiments/onchip_r04b.py): tokens in this set stub
@@ -371,7 +371,8 @@ _ABLATE = frozenset()
 
 def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
                      conv_tol: float = 1e-4, small_precision=None,
-                     psum_axes=None, global_m: int = None, gemm_inv=None):
+                     psum_axes=None, global_m: int = None, gemm_inv=None,
+                     pallas_chain=None):
     """Adaptive CholeskyQR chain: thin QR (rows=False: p = q r, r upper
     b x b) or thin LQ (rows=True: p = l q, l lower b x b) of p by repeated
     Gram-Cholesky passes with shift-on-breakdown.
@@ -477,8 +478,6 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
         # it does NOT beat the custom calls here; kept as an opt-in for
         # future hardware where call latency dominates.
         if on_tpu():
-            import os
-
             if os.environ.get("NPW_PALLAS_FACTOR", "0") == "1":
                 from numpywren_tpu.ops.pallas_factor import potrf_inv_pallas
 
@@ -569,9 +568,11 @@ def _cholqr_adaptive(p, precision, rows: bool = False, max_passes: int = 16,
     # the VERDICT r4 #5 lever (collapse the per-panel custom-call bill
     # into one dispatch). Semantics are identical to the lines below; the
     # extras while_loop is shared. Measured numbers in BENCH.md round 5.
+    if pallas_chain is None:  # None = the env default (callers that key
+        # jit caches on it pass an explicit bool, like gemm_inv)
+        pallas_chain = os.environ.get("NPW_PALLAS_CHAIN", "0") == "1"
     _chained = False
-    if (psum_axes is None and not _ABLATE
-            and os.environ.get("NPW_PALLAS_CHAIN", "0") == "1"):
+    if psum_axes is None and not _ABLATE and pallas_chain:
         from numpywren_tpu.ops.pallas_factor import (chain_supported,
                                                      cholqr2_chain_pallas)
 
@@ -745,7 +746,8 @@ def _small_inv_t(w1, precision, gemm_inv=None):
 
 def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
                             conv_tol: float = 1e-4, fast_s: bool = False,
-                            small_precision=None, gemm_inv=None):
+                            small_precision=None, gemm_inv=None,
+                            pallas_chain=None):
     """GEMM-only replacement for _panel_qr_update (VERDICT r1 #4): thin Q,R
     from shifted CholeskyQR3, then the FULL orthogonal factor as a Yamamoto
     basis-kernel reflector
@@ -766,7 +768,8 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
     just the dense orthogonal factor."""
     b = panel.shape[1]
     q, r = _cholqr3s(panel, precision, conv_tol=conv_tol,
-                     small_precision=small_precision, gemm_inv=gemm_inv)
+                     small_precision=small_precision, gemm_inv=gemm_inv,
+                     pallas_chain=pallas_chain)
     if panel.shape[0] == b:
         sigma_sq = -jnp.where(jnp.diagonal(q[:b]) >= 0, 1.0,
                               -1.0).astype(q.dtype)
@@ -806,7 +809,7 @@ def _panel_qr_update_cholqr(panel, trailing, precision, want_reflector=False,
 
 
 def _cholqr3s_rows(p, precision, conv_tol: float = 1e-4,
-                   small_precision=None, gemm_inv=None):
+                   small_precision=None, gemm_inv=None, pallas_chain=None):
     """Row-form shifted CholeskyQR3: thin LQ of wide `p` (b x m) as
     p = l @ qr with l lower-triangular (b x b) and qr row-orthonormal
     (b x m). The exact mirror of _cholqr3s with the Gram taken as p p^T
@@ -814,12 +817,13 @@ def _cholqr3s_rows(p, precision, conv_tol: float = 1e-4,
     materialized (the MXU absorbs the transposition inside the GEMM)."""
     return _cholqr_adaptive(p, precision, rows=True, conv_tol=conv_tol,
                             small_precision=small_precision,
-                            gemm_inv=gemm_inv)
+                            gemm_inv=gemm_inv, pallas_chain=pallas_chain)
 
 
 def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
                             conv_tol: float = 1e-4, fast_s: bool = False,
-                            small_precision=None, gemm_inv=None):
+                            small_precision=None, gemm_inv=None,
+                            pallas_chain=None):
     """Right-side mirror of _panel_qr_update_cholqr for the LQ sweep:
     LQ-factor the wide row `panel` (b x m) and apply the full orthogonal
     factor from the RIGHT to `body` (rows x m), entirely in row
@@ -835,7 +839,7 @@ def _panel_lq_update_cholqr(panel, body, precision, want_reflector=False,
     b = panel.shape[0]
     qr_, l = _cholqr3s_rows(panel, precision, conv_tol=conv_tol,
                             small_precision=small_precision,
-                            gemm_inv=gemm_inv)
+                            gemm_inv=gemm_inv, pallas_chain=pallas_chain)
     q1 = qr_[:, :b]  # (b, b): Q1^T in the column-form derivation
     d = jnp.diagonal(q1)
     sigma = -jnp.where(d >= 0, 1.0, -1.0).astype(qr_.dtype)
@@ -899,7 +903,8 @@ def _apply_reflector_right(x, refl, c0: int, precision):
 def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
                    dtype=jnp.float32, panel_method: str = None,
                    accumulate: bool = False,
-                   accum_precision=None, gemm_inv: bool = None) -> Callable:
+                   accum_precision=None, gemm_inv: bool = None,
+                   pallas_chain: bool = None) -> Callable:
     """Jittable block bidiagonalization over a flat padded array (the fused
     lowering of algs.bdfac): per block column, a tall QR with full-Q
     trailing update (two MXU GEMMs), then a wide LQ (QR of the transpose)
@@ -925,8 +930,6 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
     if precision is None:
         precision = default_precision(dtype)
     if panel_method is None:
-        import os
-
         panel_method = os.environ.get("NPW_BDFAC_PANEL", "cholqr")
     if panel_method not in ("cholqr", "house"):
         raise ValueError(f"unknown bdfac panel_method {panel_method!r}")
@@ -947,15 +950,27 @@ def fused_bdfac_fn(n_pad: int, tile: int, *, precision=None,
     sp = jax.lax.Precision.HIGHEST if accumulate else jax.lax.Precision.HIGH
     if gemm_inv is None:
         gemm_inv = _gemm_only_inv()
+    if pallas_chain is None:
+        # opt-in (NPW_PALLAS_CHAIN=1): the one-launch Pallas panel chain
+        # (ops/pallas_factor.cholqr2_chain_pallas). Measured 2026-08-19
+        # at 8192/256 on-chip: per-panel slope-timed micro 1.08x SLOWER
+        # than the custom-call fold path; one e2e A/B showed 1.88x faster
+        # (22.7 vs 42.5 ms) but three later same-session repeats measured
+        # parity inside a 30-44 ms noise band, so the default stays OFF —
+        # sigma parity holds either way (2.4e-5 at kappa 1e6). At tile
+        # 512 the kernel exceeds v5e's 16M scoped VMEM (envelope-checked,
+        # falls back per-panel). experiments/results/chain_onchip_r05.jsonl.
+        pallas_chain = os.environ.get("NPW_PALLAS_CHAIN", "0") == "1"
     panel_update = (
         functools.partial(_panel_qr_update_cholqr, conv_tol=conv_tol,
                           fast_s=fast_s, small_precision=sp,
-                          gemm_inv=gemm_inv)
+                          gemm_inv=gemm_inv, pallas_chain=pallas_chain)
         if panel_method == "cholqr" else _panel_qr_update
     )
     panel_lq = functools.partial(_panel_lq_update_cholqr, conv_tol=conv_tol,
                                  fast_s=fast_s, small_precision=sp,
-                                 gemm_inv=gemm_inv)
+                                 gemm_inv=gemm_inv,
+                                 pallas_chain=pallas_chain)
     # accumulator-GEMM precision: the P/Q applies are ~60% of the
     # with-vectors flops and their roundoff is the recon-error floor
     # (measured 1.05e-4 Frobenius at HIGH, 768^2/t256 on-chip);
@@ -1050,8 +1065,6 @@ def fused_bdfac(a: jax.Array, tile: int, *, precision=None,
     if precision is None:
         precision = default_precision(a.dtype)
     if panel_method is None:
-        import os
-
         panel_method = os.environ.get("NPW_BDFAC_PANEL", "cholqr")
     if gemm_inv is None:
         gemm_inv = _gemm_only_inv()

@@ -569,7 +569,10 @@ def cholqr2_chain_pallas(g, p, *, rows: bool, shift_c: float,
     caller. Raises ValueError outside the envelope (fp32, n <= 512,
     128 | n, 128-divisible m >= n); callers gate on _chain_supported via
     this module's chain_supported()."""
-    if precision is None:
+    # Mosaic lowers only DEFAULT/HIGHEST dots ("Unsupported dot precision:
+    # HIGH", measured on-chip): coerce the apply up to HIGHEST — at
+    # (m, b)x(b, b) size the extra passes are microseconds
+    if precision is None or precision == lax.Precision.HIGH:
         precision = lax.Precision.HIGHEST
     if interpret is None:
         from numpywren_tpu.ops.common import on_tpu

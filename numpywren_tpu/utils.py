@@ -8,6 +8,7 @@ rounding/padding math used everywhere in the tiled layer.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import itertools
 from typing import Iterable, Iterator, List, Sequence, Tuple
@@ -157,3 +158,33 @@ def get_local_matrix(m, out=None, mmap_path: str = None):
     if hasattr(out, "flush"):
         out.flush()
     return out
+
+
+@functools.lru_cache(maxsize=1)
+def host_gflops() -> float:
+    """Measured host fp64 GEMM throughput in GFLOP/s (one ~20 ms probe,
+    cached for the process; NPW_HOST_GFLOPS overrides — set it in tests
+    or on hosts where a startup probe is unwelcome).
+
+    Consumers use it to SCALE host-LAPACK cost estimates that were
+    calibrated on the 1-core reference host (~15 GF/s dgemm; e.g. dense
+    gesdd ~520 s at n=8192): a threaded-LAPACK host then shifts routing
+    crossovers instead of silently inheriting 1-core defaults
+    (models.svd._route_default_method)."""
+    import os
+    import time
+
+    env = os.environ.get("NPW_HOST_GFLOPS")
+    if env:
+        return float(env)
+    import numpy as np
+
+    k = 384
+    a = np.random.default_rng(0).standard_normal((k, k))
+    a @ a  # BLAS warmup / page-in
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a @ a
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * k ** 3 / best / 1e9
