@@ -339,6 +339,14 @@ class JaxTaskExecutor:
             stacks = {name: to_stack(arrays[name], name) for name in names}
             for _sid, consts, members in schedule:
                 group = [nodes[nid] for nid in members]
+                # order members by their first write's linear tile index:
+                # with sorted+unique scatter indices (asserted below) XLA
+                # can take the in-place update path instead of copying
+                # the whole (n_tiles, Tm, Tn) stack per group — the
+                # measured ~9 ms/group gap at n=16384 (BENCH.md round 5)
+                # is exactly stack-copy traffic
+                gw = geom[group[0].writes[0][0]][0][1]
+                group.sort(key=lambda n: n.writes[0][1] * gw + n.writes[0][2])
                 ins = []
                 c_pos = 0
                 for pos, kind in enumerate(group[0].input_kinds):
@@ -360,12 +368,18 @@ class JaxTaskExecutor:
                 for w_pos, out in enumerate(outs):
                     mname = group[0].writes[w_pos][0]
                     gn_ = geom[mname][0][1]
-                    idx = jnp.asarray(
-                        [n.writes[w_pos][1] * gn_ + n.writes[w_pos][2] for n in group],
-                        dtype=jnp.int32,
-                    )
+                    lin = [n.writes[w_pos][1] * gn_ + n.writes[w_pos][2]
+                           for n in group]
+                    # same-tile writes inside one batched group would be
+                    # a data race the scheduler must never emit
+                    assert len(set(lin)) == len(lin), (
+                        f"duplicate write tiles in group: {lin}")
+                    idx = jnp.asarray(lin, dtype=jnp.int32)
                     out = out.astype(stacks[mname].dtype)
-                    stacks[mname] = stacks[mname].at[idx].set(out)
+                    stacks[mname] = stacks[mname].at[idx].set(
+                        out, unique_indices=True,
+                        indices_are_sorted=all(
+                            a <= b for a, b in zip(lin, lin[1:])))
             return {name: from_stack(stacks[name], name) for name in names}
 
         self._fn = jax.jit(step_all, donate_argnums=(0,) if self.donate else ())
