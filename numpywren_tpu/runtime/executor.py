@@ -177,7 +177,7 @@ class LocalExecutor:
 # JaxTaskExecutor: static schedule, batched per-level device execution
 # ---------------------------------------------------------------------------
 
-def _batched_kernels(precision):
+def _batched_kernels(precision, trsm_inv: bool = False):
     import jax.numpy as jnp
     from jax import lax
 
@@ -187,6 +187,30 @@ def _batched_kernels(precision):
         if tb:
             b = jnp.swapaxes(b, -1, -2)
         return jnp.matmul(a, b, precision=precision)
+
+    def trsm(a, l):
+        # solve X L^T = A (right side, lower L). trsm_inv replaces the
+        # batched triangular_solve — whose custom call is SEQUENTIAL per
+        # batch element (~0.25 ms each, flat in size: TODO.md) — with one
+        # small inverse + one batched MXU GEMM: X = A @ L^-T. Same
+        # inverse-multiply tradeoff the fused lowering makes (gemm_inv in
+        # compiler/lower.py); the diagonal blocks a DSL program solves
+        # against are factor tiles with modest condition, and the
+        # measured residual stays at fp32 grade (dslprof decomposition,
+        # BENCH.md round 5: kernels were ~154 ms of the 413 ms generic
+        # cholesky step at n=16384, dominated by these solves).
+        if trsm_inv:
+            eye = jnp.eye(l.shape[-1], dtype=l.dtype)
+            if l.ndim > 2:
+                eye = jnp.broadcast_to(eye, l.shape)
+            linv = lax.linalg.triangular_solve(l, eye, left_side=True,
+                                               lower=True)
+            return mm(a, linv, tb=True)
+        if l.ndim < a.ndim:  # broadcast-read pivot tile (see step_all)
+            l = jnp.broadcast_to(l, a.shape[:-2] + l.shape[-2:])
+        return lax.linalg.triangular_solve(
+            l, a, left_side=False, lower=True, transpose_a=True
+        )
 
     def qr_combine(rt, rb):
         n = rt.shape[-2]
@@ -212,9 +236,7 @@ def _batched_kernels(precision):
     return {
         **kary,
         "potrf": lambda a: lax.linalg.cholesky(a),
-        "trsm": lambda a, l: lax.linalg.triangular_solve(
-            l, a, left_side=False, lower=True, transpose_a=True
-        ),
+        "trsm": trsm,
         "syrk": lambda s, x, y: s - mm(x, y, tb=True),
         "gemm": mm,
         "gemm_nt": lambda a, b: mm(a, b, tb=True),
@@ -244,6 +266,15 @@ def _factor_ops(name):
     return getattr(factor, name)
 
 
+# ops whose _batched_kernels entry broadcasts an UNBATCHED (Tm, Tn) operand
+# against batched (k, Tm, Tn) ones (plain jnp broadcasting or explicit
+# handling in trsm); anything else gets the operand pre-broadcast
+_BCAST_SAFE_OPS = frozenset({
+    "trsm", "syrk", "gemm", "gemm_nt", "gemm_tn", "gemm_acc",
+    "add", "sub", "copy", "transpose", "small_qr_apply",
+})
+
+
 class JaxTaskExecutor:
     """Run the wavefront schedule on device, one jit for the whole program.
 
@@ -253,10 +284,14 @@ class JaxTaskExecutor:
     """
 
     def __init__(self, program: TiledProgram, precision=None, donate: bool = True,
-                 schedule_policy: str = "wavefront"):
+                 schedule_policy: str = "wavefront", trsm_inv: bool = True):
         self.program = program
         self.precision = precision
         self.donate = donate
+        # inverse-based batched trsm (one small solve + one batched MXU
+        # GEMM) instead of the per-batch-element sequential
+        # triangular_solve custom call — see _batched_kernels.trsm
+        self.trsm_inv = trsm_inv
         # "lookahead" emits the next panel's critical-path groups before
         # bulk trailing updates (compiler.schedule.grouped_schedule); the
         # whole program is one jit either way, so this only changes trace
@@ -321,7 +356,7 @@ class JaxTaskExecutor:
         geom = {
             name: (mats[name].grid, mats[name].tile, mats[name].padded_shape) for name in names
         }
-        kers = _batched_kernels(precision)
+        kers = _batched_kernels(precision, trsm_inv=self.trsm_inv)
         from numpywren_tpu.compiler.schedule import grouped_schedule
 
         schedule = grouped_schedule(program.dag, self.schedule_policy)
@@ -330,6 +365,17 @@ class JaxTaskExecutor:
         def to_stack(arr, name):
             (gm, gn), (tm, tn), _ = geom[name]
             return arr.reshape(gm, tm, gn, tn).transpose(0, 2, 1, 3).reshape(gm * gn, tm, tn)
+
+        def runs_of(lin):
+            """Contiguous ascending runs [(start_pos, end_pos), ...] of a
+            static linear-index list — computed at trace time."""
+            runs = []
+            s = 0
+            for t in range(1, len(lin) + 1):
+                if t == len(lin) or lin[t] != lin[t - 1] + 1:
+                    runs.append((s, t))
+                    s = t
+            return runs
 
         def from_stack(st, name):
             (gm, gn), (tm, tn), (pm, pn) = geom[name]
@@ -357,14 +403,58 @@ class JaxTaskExecutor:
                         b_pos = sum(1 for k in group[0].input_kinds[:pos] if k == "block")
                         mname = group[0].reads[b_pos][0]
                         gn_ = geom[mname][0][1]
-                        idx = jnp.asarray(
-                            [n.reads[b_pos][1] * gn_ + n.reads[b_pos][2] for n in group],
-                            dtype=jnp.int32,
-                        )
-                        ins.append(jnp.take(stacks[mname], idx, axis=0))
+                        lin_r = [n.reads[b_pos][1] * gn_ + n.reads[b_pos][2]
+                                 for n in group]
+                        st = stacks[mname]
+                        # The indices are STATIC, so the gather can be
+                        # trace-time-specialized. XLA's gather op was
+                        # measured at ~10% of HBM bandwidth on tile
+                        # stacks (the ~190 ms "io" share of the 413 ms
+                        # generic cholesky step, dslprof decomposition);
+                        # static slices run at DMA speed.
+                        if len(lin_r) > 1 and len(set(lin_r)) == 1:
+                            # broadcast read (e.g. every trsm in a panel
+                            # solves against the same pivot tile): pass
+                            # the tile UNBATCHED where the kernel
+                            # broadcasts over leading dims (trsm_inv then
+                            # inverts it ONCE instead of per member);
+                            # for other ops, slice+broadcast — still DMA
+                            # speed, never a gather
+                            tile0 = st[lin_r[0]]
+                            if group[0].op in _BCAST_SAFE_OPS:
+                                ins.append(tile0)
+                            else:
+                                ins.append(jnp.broadcast_to(
+                                    tile0[None],
+                                    (len(group),) + tile0.shape))
+                        elif all(x < y for x, y in zip(lin_r, lin_r[1:])):
+                            rruns = runs_of(lin_r)
+                            if len(rruns) <= max(16, len(lin_r) // 4):
+                                parts = [
+                                    jax.lax.slice_in_dim(
+                                        st, lin_r[s0], lin_r[s1 - 1] + 1,
+                                        axis=0)
+                                    for s0, s1 in rruns
+                                ]
+                                ins.append(parts[0] if len(parts) == 1
+                                           else jax.lax.concatenate(parts, 0))
+                            else:
+                                ins.append(jnp.take(
+                                    st, jnp.asarray(lin_r, jnp.int32),
+                                    axis=0, unique_indices=True,
+                                    indices_are_sorted=True))
+                        else:
+                            ins.append(jnp.take(
+                                st, jnp.asarray(lin_r, jnp.int32), axis=0))
                 outs = kers[group[0].op](*ins)
                 if not isinstance(outs, tuple):
                     outs = (outs,)
+                # a group whose inputs were all broadcast-unbatched can
+                # come back without the member axis; restore it so the
+                # scatter below sees (len(group), Tm, Tn)
+                outs = tuple(
+                    jnp.broadcast_to(o[None], (len(group),) + o.shape)
+                    if o.ndim == 2 else o for o in outs)
                 for w_pos, out in enumerate(outs):
                     mname = group[0].writes[w_pos][0]
                     gn_ = geom[mname][0][1]
@@ -374,12 +464,32 @@ class JaxTaskExecutor:
                     # a data race the scheduler must never emit
                     assert len(set(lin)) == len(lin), (
                         f"duplicate write tiles in group: {lin}")
-                    idx = jnp.asarray(lin, dtype=jnp.int32)
                     out = out.astype(stacks[mname].dtype)
-                    stacks[mname] = stacks[mname].at[idx].set(
-                        out, unique_indices=True,
-                        indices_are_sorted=all(
-                            a <= b for a, b in zip(lin, lin[1:])))
+                    runs = runs_of(lin) if all(
+                        a < b for a, b in zip(lin, lin[1:])) else None
+                    if runs is not None and len(runs) <= max(
+                            16, len(lin) // 4):
+                        # coalesced scatter: one dynamic_update_slice per
+                        # contiguous run. The indices are static, so the
+                        # runs are known at trace time, and XLA performs
+                        # DUS on a dead buffer IN PLACE — unlike the
+                        # general scatter, which was measured copying the
+                        # whole (n_tiles, Tm, Tn) stack per group (~9 ms
+                        # at n=16384/1024: the dominant generic-vs-fused
+                        # gap, BENCH.md round 5). Cholesky trailing
+                        # updates write row-contiguous tiles (<= grid
+                        # runs); gemm accumulation writes ONE run.
+                        st = stacks[mname]
+                        for s0, s1 in runs:
+                            st = jax.lax.dynamic_update_slice(
+                                st, out[s0:s1], (lin[s0], 0, 0))
+                        stacks[mname] = st
+                    else:
+                        idx = jnp.asarray(lin, dtype=jnp.int32)
+                        stacks[mname] = stacks[mname].at[idx].set(
+                            out, unique_indices=True,
+                            indices_are_sorted=all(
+                                a <= b for a, b in zip(lin, lin[1:])))
             return {name: from_stack(stacks[name], name) for name in names}
 
         self._fn = jax.jit(step_all, donate_argnums=(0,) if self.donate else ())
