@@ -83,10 +83,10 @@ def roundrobin_schedule(g: int) -> np.ndarray:
 
 @functools.partial(
     __import__("jax").jit,
-    static_argnames=("g", "b", "prec"),
+    static_argnames=("g", "b", "prec", "skip_rel"),
     donate_argnames=("w", "v"),
 )
-def _sweep(w, v, perms, *, g: int, b: int, prec):
+def _sweep(w, v, perms, *, g: int, b: int, prec, skip_rel: float = 0.0):
     """One full round-robin sweep (g-1 rounds) over column-block pairs.
 
     w: (g, m, b) column blocks of the working matrix; v: (g, n, b) column
@@ -103,7 +103,23 @@ def _sweep(w, v, perms, *, g: int, b: int, prec):
     columns so eigenvalue ranks follow the rank order of the Gram's
     diagonal (plus positive-diagonal signs) makes Q -> I for near-diagonal
     pairs, which restores the classical global convergence (quadratic
-    once sorted; sigma ordering is recovered by one argsort at the end)."""
+    once sorted; sigma ordering is recovered by one argsort at the end).
+
+    skip_rel > 0 enables classical Jacobi THRESHOLDING, re-purposed here
+    as a roundoff firewall: a pair whose relative off-mass
+    sqrt(off2/diag2) is already below skip_rel gets the EXACT identity
+    instead of eigh's near-identity Q. Multiplying by an exact identity
+    is exact in floating point (each dot product is one value plus exact
+    zeros), so converged pairs stop re-absorbing the ~sqrt(2b)*eps GEMM
+    roundoff that every real rotation injects — that injection is what
+    floors both the off-norm (~1.4e-6 measured at fp32) and the
+    accumulated reconstruction error (~sqrt(rounds*2b)*eps: 2.4e-5 at
+    n=8192/16 sweeps). It engages in the MANY-SWEEP regime where the
+    loop keeps churning past individual pair convergence (measured CPU
+    n=2048 b=256 kappa=1e4: 24 -> 16 sweeps, recon 1.03e-5 -> 9.2e-6);
+    at flagship sizes the stagnation exit fires first and the A/B is a
+    measured no-op (on-chip n=4096 b=512: 12 sweeps, recon 1.329e-5 vs
+    1.331e-5, wall 6.6 s both arms — onchip_r05.jsonl jskip)."""
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +139,15 @@ def _sweep(w, v, perms, *, g: int, b: int, prec):
         sgn = jnp.sign(jnp.diagonal(q, axis1=1, axis2=2))
         sgn = jnp.where(sgn == 0, 1.0, sgn).astype(q.dtype)
         q = q * sgn[:, None, :]
+        if skip_rel > 0.0:
+            # diagonal zeroed BEFORE summing (same fp32-cancellation trap
+            # as _off_rel); comparison squared to avoid the sqrt
+            dmat = jax.vmap(jnp.diag)(d)
+            off2 = jnp.sum(jnp.square(gram - dmat), axis=(1, 2))
+            den2 = jnp.sum(jnp.square(d), axis=1)
+            conv = off2 <= (skip_rel * skip_rel) * den2
+            eye2b = jnp.eye(2 * b, dtype=q.dtype)
+            q = jnp.where(conv[:, None, None], eye2b[None], q)
         pair_w = jnp.einsum("kmi,kij->kmj", pair_w, q, precision=prec)
         pair_v = vp.reshape(g // 2, 2, n, b).transpose(0, 2, 1, 3)
         pair_v = pair_v.reshape(g // 2, n, 2 * b)
@@ -392,6 +417,7 @@ def svd_jacobi(
     compute_uv: bool = True,
     polish: bool = True,
     rank_tol: float = 0.0,
+    skip_rel: Optional[float] = None,
     _sweep_trace: Optional[list] = None,
 ) -> Tuple:
     """Full SVD with vectors, no host O(n^3) stage: (U, s, Vt) DEVICE
@@ -434,6 +460,18 @@ def svd_jacobi(
     at 0 those columns return as exact zeros (x = U diag(s) Vt still
     holds — the zeroed columns multiply zero sigmas).
 
+    skip_rel: per-pair convergence threshold below which a pair's
+    rotation is replaced by the EXACT identity (see _sweep: identity
+    multiplication is exact, so converged pairs stop re-absorbing GEMM
+    roundoff — the dominant term in the accumulated reconstruction error
+    at large n). None -> 1.5 * sqrt(2b) * u (1.5x the per-pair
+    application-noise floor, u = eps/2): below 1x nothing ever measures
+    converged so no pair skips; much above it, genuinely unconverged
+    pairs freeze and recon degrades. Measured n=2048 b=256 kappa=1e4
+    fp32 (floor 1.35e-6): skip 2e-6 -> 16 sweeps / recon 9.2e-6 vs
+    0 -> 24 sweeps / 1.03e-5, while 4e-6 -> 1.27e-5 and 8e-6 -> 2.0e-5.
+    0 disables thresholding.
+
     Wide inputs run on x.T (factors swapped back). Tall inputs run
     directly — one-sided Jacobi never forms an m x m object, so cost
     scales linearly in m and no QR pre-reduction is required (callers
@@ -453,7 +491,7 @@ def svd_jacobi(
         # instead, contrary to the contract (ADVICE r4 #1)
         res = svd_jacobi(x.T, block=block, max_sweeps=max_sweeps, tol=tol,
                          precision=precision, compute_uv=compute_uv,
-                         polish=polish, rank_tol=0.0,
+                         polish=polish, rank_tol=0.0, skip_rel=skip_rel,
                          _sweep_trace=_sweep_trace)
         if not compute_uv:
             return res
@@ -489,10 +527,14 @@ def svd_jacobi(
     v = eye.T.reshape(g, b, n_pad).transpose(0, 2, 1)     # (g, n_pad, b)
     perms = jnp.asarray(roundrobin_schedule(g))
 
+    if skip_rel is None:
+        u_round = float(jnp.finfo(x.dtype).eps) / 2.0
+        skip_rel = 1.5 * (2.0 * b) ** 0.5 * u_round
     prev = float("inf")
     off = 0.0
     for _ in range(max_sweeps):
-        w, v = _sweep(w, v, perms, g=g, b=b, prec=prec)
+        w, v = _sweep(w, v, perms, g=g, b=b, prec=prec,
+                      skip_rel=float(skip_rel))
         off = float(_off_rel(w, prec=prec))
         if _sweep_trace is not None:
             _sweep_trace.append(off)

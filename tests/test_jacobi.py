@@ -57,6 +57,50 @@ def test_roundrobin_odd_raises():
         roundrobin_schedule(5)
 
 
+def test_threshold_sweep_is_bitexact_noop_when_converged(rng):
+    """A matrix whose column blocks are already orthogonal must pass
+    through a thresholded sweep BIT-EXACTLY: the skip path substitutes
+    the EXACT identity for converged pairs, and multiplying by an exact
+    identity is exact in floating point — that exactness is the whole
+    point of the roundoff firewall (models/jacobi.py::_sweep skip_rel)."""
+    import jax.numpy as jnp
+
+    from numpywren_tpu.models.jacobi import _sweep
+
+    n, b = 128, 16
+    g = n // b
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)).astype(np.float32))
+    w0 = (q * np.linspace(2.0, 1.0, n, dtype=np.float32)).astype(np.float32)
+    w = jnp.asarray(w0.T.reshape(g, b, n).transpose(0, 2, 1))
+    v = jnp.asarray(np.eye(n, dtype=np.float32).T
+                    .reshape(g, b, n).transpose(0, 2, 1))
+    perms = jnp.asarray(roundrobin_schedule(g))
+    w_np, v_np = np.asarray(w), np.asarray(v)  # _sweep donates its inputs
+    import jax
+
+    w1, v1 = _sweep(w, v, perms, g=g, b=b,
+                    prec=jax.lax.Precision.HIGHEST, skip_rel=1e-5)
+    assert np.array_equal(np.asarray(w1), w_np)
+    assert np.array_equal(np.asarray(v1), v_np)
+
+
+def test_threshold_does_not_hurt_accuracy(rng):
+    """Default (auto) thresholding must not degrade recon vs skip_rel=0
+    on an ill-conditioned input, and should not need more sweeps (the
+    exact-identity stationarity lets the stagnation exit fire earlier)."""
+    x, _ = _logspace_matrix(rng, 384, 384, 1e4)
+    x = x.astype(np.float32)
+    tr0, tr1 = [], []
+    u0, s0, vt0 = svd_jacobi(x, block=64, skip_rel=0.0, _sweep_trace=tr0)
+    u1, s1, vt1 = svd_jacobi(x, block=64, _sweep_trace=tr1)
+    r0 = np.linalg.norm(np.asarray(u0) * np.asarray(s0) @ np.asarray(vt0)
+                        - x) / np.linalg.norm(x)
+    r1 = np.linalg.norm(np.asarray(u1) * np.asarray(s1) @ np.asarray(vt1)
+                        - x) / np.linalg.norm(x)
+    assert r1 <= 2.0 * r0 + 1e-6
+    assert len(tr1) <= len(tr0)
+
+
 @pytest.mark.parametrize("n,block", [(96, 16), (128, 32), (256, 64)])
 def test_square(rng, n, block):
     x = rng.standard_normal((n, n)).astype(np.float32)
