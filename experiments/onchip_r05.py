@@ -115,7 +115,7 @@ def stage_peak(fast):
 
 
 def _run_jacobi(n, block, seed, label, compute_uv=True, reps=2,
-                skip_rel=None):
+                skip_rel=None, refine=2):
     import numpy as np
 
     from numpywren_tpu.models.jacobi import svd_jacobi
@@ -128,7 +128,8 @@ def _run_jacobi(n, block, seed, label, compute_uv=True, reps=2,
         trace = []
         t0 = time.perf_counter()
         out = svd_jacobi(x, block=block, compute_uv=compute_uv,
-                         skip_rel=skip_rel, _sweep_trace=trace)
+                         skip_rel=skip_rel, refine=refine,
+                         _sweep_trace=trace)
         if compute_uv:
             fetch_scalar(out[0][0, 0])
         else:
@@ -138,7 +139,7 @@ def _run_jacobi(n, block, seed, label, compute_uv=True, reps=2,
     rec = {"n": n, "block": block, "cold_s": round(walls[0], 1),
            "warm_s": round(min(walls[1:]) if len(walls) > 1 else walls[0], 1),
            "sweeps": sweeps, "final_off": trace[-1] if trace else None,
-           "skip_rel": skip_rel}
+           "skip_rel": skip_rel, "refine": refine}
     if compute_uv:
         u, s, vt = out
         r, ou, ov = _check_factors(x, u, s, vt)
@@ -194,6 +195,19 @@ def stage_jskip(fast):
         _run_jacobi(n, 512, 1, "jskip", skip_rel=sk)
 
 
+def stage_jrefine(fast):
+    """Iterative-refinement A/B (models/jacobi.py::_refine_step, default
+    refine=2): quadratic-contraction finisher below the sweep phase's
+    accumulated-roundoff recon floor. CPU-measured: recon 6.5-7.4e-6 ->
+    0.8-1.1e-6 at n=1024 across the kappa ladder; this stage records the
+    flagship-size on-chip numbers and the step's wall cost."""
+    n = 2048 if fast else 4096
+    for rf in (0, 2):
+        _run_jacobi(n, 512, 1, "jrefine", refine=rf)
+    if not fast:
+        _run_jacobi(8192, 512, 1, "jrefine", refine=2, reps=2)
+
+
 STAGES = {
     "peak": stage_peak,
     "jsmall": stage_jsmall,
@@ -201,6 +215,7 @@ STAGES = {
     "jgraded": stage_jgraded,
     "sigonly": stage_sigonly,
     "jskip": stage_jskip,
+    "jrefine": stage_jrefine,
 }
 
 
