@@ -29,6 +29,9 @@ reference, which stops at the precursors):
                         + GEMM rotations) — the with-vectors path at
                         n >= 8192 where the host finish is infeasible;
                         also svd(method="jacobi")
+- jacobi.svd_refine:    Ogita-Aishima-style iterative refinement of ANY
+                        thin SVD factors (five GEMMs/step, quadratic
+                        contraction; runs inside svd_jacobi by default)
 - svd.svd_tall:         thin SVD of tall-skinny matrices (GEMM-only QR)
 - svd.randomized_svd:   rank-k truncated SVD (HMT sketch + power iteration)
 - lstsq.least_squares:  tall least squares (CholeskyQR or normal equations)
@@ -37,7 +40,7 @@ reference, which stops at the precursors):
 """
 
 from numpywren_tpu.alg_wrappers import bdfac, cholesky, gemm, tsqr, tsqr_r_factor
-from numpywren_tpu.models.jacobi import svd_jacobi
+from numpywren_tpu.models.jacobi import svd_jacobi, svd_refine
 from numpywren_tpu.models.lstsq import least_squares, ridge_regression
 from numpywren_tpu.models.pca import pca
 from numpywren_tpu.models.svd import (
@@ -49,6 +52,6 @@ from numpywren_tpu.models.svd import (
 
 __all__ = [
     "cholesky", "gemm", "tsqr", "bdfac", "tsqr_r_factor",
-    "singular_values", "svd", "svd_jacobi", "svd_tall", "randomized_svd",
-    "least_squares", "ridge_regression", "pca",
+    "singular_values", "svd", "svd_jacobi", "svd_refine", "svd_tall",
+    "randomized_svd", "least_squares", "ridge_regression", "pca",
 ]

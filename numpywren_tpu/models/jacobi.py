@@ -74,7 +74,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["svd_jacobi", "roundrobin_schedule"]
+__all__ = ["svd_jacobi", "svd_refine", "roundrobin_schedule"]
 
 
 def roundrobin_schedule(g: int) -> np.ndarray:
@@ -467,6 +467,36 @@ def _refine_step(x, u, s, vt, *, tau: float, cut_c: float, prec):
     order = jnp.argsort(-s2)
     return (jnp.take(u, order, axis=1), jnp.take(s2, order),
             jnp.take(vt, order, axis=0))
+
+
+def svd_refine(x, u, s, vt, steps: int = 1, precision=None,
+               tau: float = 3e-4, cut_c: float = 10.0):
+    """Refine ANY thin SVD factors of x toward the true factorization:
+    (U, s, Vt) -> (U', s', Vt') with quadratically smaller factor error
+    per step (see _refine_step for the math and the two safety masks).
+    Five n^3 GEMMs per step, entirely on device.
+
+    Works on factors from any source — svd_jacobi (where it runs by
+    default), the bdfac+host-gesdd `svd` path, `svd_tall`, or a
+    deliberately perturbed factorization — as long as the factor error
+    is small (first-order method: needs near-orthonormal U, V and
+    near-diagonal U^T x V; errors up to ~1e-3 contract, ~1e-1 may
+    diverge). The inputs are copied, not donated: the caller's arrays
+    stay valid."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    # _refine_step donates its u/vt operands; copy so the caller's
+    # arrays are not invalidated under them
+    u = jnp.array(u)
+    vt = jnp.array(vt)
+    s = jnp.asarray(s)
+    prec = precision if precision is not None else jax.lax.Precision.HIGHEST
+    for _ in range(int(steps)):
+        u, s, vt = _refine_step(x, u, s, vt, tau=float(tau),
+                                cut_c=float(cut_c), prec=prec)
+    return u, s, vt
 
 
 @functools.partial(__import__("jax").jit, static_argnames=("prec",))

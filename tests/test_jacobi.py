@@ -165,6 +165,43 @@ def test_refine_tightens_recon(rng, kappa):
     assert ou < 1e-6 and ov < 1e-6, (ou, ov)
 
 
+def test_svd_refine_recovers_perturbed_factors(rng):
+    """Public svd_refine: factors perturbed at 1e-4 must contract back
+    to near working precision in two steps (quadratic), on factors from
+    ANY source — here an exact fp64 construction. Caller arrays must
+    stay valid (the wrapper copies before the donating step)."""
+    from numpywren_tpu.models import svd_refine
+
+    n = 192
+    s_true = np.logspace(0, -3, n)
+    qu, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    qv, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    x = ((qu * s_true) @ qv.T).astype(np.float32)
+    u0 = (qu + 1e-4 * rng.standard_normal((n, n))).astype(np.float32)
+    vt0 = (qv + 1e-4 * rng.standard_normal((n, n))).astype(np.float32).T
+    s0 = s_true.astype(np.float32)
+    x64 = np.asarray(x, np.float64)
+    na = np.linalg.norm(x64)
+
+    def recon(u, s, vt):
+        u, s, vt = map(lambda a: np.asarray(a, np.float64), (u, s, vt))
+        return np.linalg.norm(x64 - (u * s) @ vt) / na
+
+    r_before = recon(u0, s0, vt0)
+    assert r_before > 1e-4  # the perturbation is material
+    import jax.numpy as jnp
+
+    u_in, vt_in = jnp.asarray(u0), jnp.asarray(vt0)
+    u1, s1, vt1 = svd_refine(x, u_in, s0, vt_in, steps=2)
+    assert recon(u1, s1, vt1) < 5e-6
+    ou = np.linalg.norm(np.asarray(u1, np.float64).T
+                        @ np.asarray(u1, np.float64) - np.eye(n))
+    assert ou / np.sqrt(n) < 1e-6
+    # caller's arrays were not donated out from under it
+    np.testing.assert_array_equal(np.asarray(u_in), u0)
+    np.testing.assert_array_equal(np.asarray(vt_in), vt0)
+
+
 @pytest.mark.parametrize("kappa", [1e2, 1e3, 1e4, 1e5, 1e6])
 def test_kappa_ladder_recon(rng, kappa):
     """The full ladder (VERDICT r4 #4 'kappa-ladder test'): recon stays
