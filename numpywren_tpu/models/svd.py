@@ -23,7 +23,7 @@ defaults (fp32 HIGH on TPU).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -518,7 +518,7 @@ def _route_default_method(shape, platform: str = None) -> str:
 
 def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         accum_precision="highest", method: str = None,
-        uv_finish: str = "host"
+        uv_finish: str = "host", refine: Optional[int] = None
         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full SVD: (U, s, Vt) with x = U @ diag(s) @ Vt (thin factors for
     rectangular x: U (m, k), Vt (k, n), k = min(m, n)).
@@ -567,6 +567,20 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
     "host" (default, fp64 LAPACK gesdd on B) | "device" (QDWH SVD of B
     on device — keeps the whole with-vectors pipeline off the host).
 
+    refine: iterative-refinement steps applied to the final bdfac-path
+    factors (models.svd_refine — five GEMMs/step, quadratic contraction
+    of the factor error). None -> platform default BY MEASUREMENT:
+    2 on TPU, where the P/Q accumulator roundoff is the factor floor —
+    on-chip n=512: recon 3.35e-5 -> 1.87e-7 and U orthogonality
+    1.46e-5 -> 9.6e-8, a 180x reconstruction win (B's own fp32 sweep
+    error bounds sigma accuracy anyway); 0 on CPU, where exact-fp32
+    matmuls leave recon already at its ~1e-6 floor and the closing
+    fp32 Rayleigh re-extract would only trade gesdd's fp64-exact
+    sigmas for fp32 estimates (measured 768^2 sigma max-err
+    4.9e-8 -> 9.4e-7). Pass an int to override either way. (The
+    jacobi method applies its own refinement inside svd_jacobi, where
+    sigma was fp32-limited to begin with.)
+
     Caveat (padded + rank-deficient): when n is not a multiple of `tile`
     the factorization runs on a zero-padded square, and singular vectors
     belonging to ZERO singular values may have support in the padding
@@ -584,12 +598,18 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         return svd(get_local_matrix(x), tile=tile, panel_method=panel_method,
                    precision=precision,
                    accum_precision=accum_precision,
-                   method=method, uv_finish=uv_finish)
+                   method=method, uv_finish=uv_finish, refine=refine)
     x = np.asarray(x)
     if x.ndim != 2:
         raise ValueError(f"svd expects a matrix, got {x.shape}")
     if method not in (None, "bdfac", "qdwh", "jacobi"):
         raise ValueError(f"unknown svd method {method!r}")
+    if refine is None:
+        # platform default by measurement (see docstring): the TPU
+        # accumulator-roundoff factor floor is what refinement removes
+        import jax
+
+        refine = 2 if jax.default_backend() == "tpu" else 0
     if method is None:
         method = _route_default_method(x.shape)
     if method == "jacobi":
@@ -623,7 +643,7 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         u, s, vt = svd(x.T, tile=tile, panel_method=panel_method,
                        precision=precision,
                    accum_precision=accum_precision,
-                   method=method, uv_finish=uv_finish)
+                   method=method, uv_finish=uv_finish, refine=refine)
         return vt.T, s, u.T
     if m > n:
         q, r = fused_tsqr(jnp.asarray(x), tile_rows=m, compute_q=True,
@@ -631,7 +651,7 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
         ur, s, vt = svd(np.asarray(r), tile=tile, panel_method=panel_method,
                         precision=precision,
                    accum_precision=accum_precision,
-                   method=method, uv_finish=uv_finish)
+                   method=method, uv_finish=uv_finish, refine=refine)
         from numpywren_tpu.ops.common import default_precision
 
         u = np.asarray(jnp.matmul(q, jnp.asarray(ur),
@@ -683,7 +703,20 @@ def svd(x, tile: int = 512, panel_method: str = None, precision=None,
     prec = precision or default_precision(x.dtype)
     u = np.asarray(jnp.matmul(p, ub, precision=prec))
     vt = np.asarray(jnp.matmul(vbt, q.T, precision=prec))
-    return u[:n, :n], s[:n].astype(x.dtype), vt[:n, :n]
+    u, s_out, vt = u[:n, :n], s[:n].astype(x.dtype), vt[:n, :n]
+    if refine:
+        # remove the P/Q accumulator roundoff floor (see docstring):
+        # quadratic contraction toward the one-GEMM-rounding floor
+        from numpywren_tpu.models.jacobi import svd_refine
+
+        ur, sr, vtr = svd_refine(jnp.asarray(x.astype(np.float32)),
+                                 u.astype(np.float32),
+                                 s_out.astype(np.float32),
+                                 vt.astype(np.float32), steps=refine)
+        u = np.asarray(ur).astype(x.dtype)
+        s_out = np.asarray(sr).astype(x.dtype)
+        vt = np.asarray(vtr).astype(x.dtype)
+    return u, s_out, vt
 
 
 def svd_tall(x, method: str = "cholqr3s") -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

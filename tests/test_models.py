@@ -187,6 +187,31 @@ def test_svd_rectangular(rng, shape):
     _check_svd(x, u, s, vt)
 
 
+@pytest.mark.parametrize("shape", [(192, 192), (256, 96)])
+def test_svd_refine_opt_in(rng, shape):
+    """svd(refine=N) is opt-in (models/svd.py docstring: it targets the
+    on-chip accumulator recon floor but trades gesdd's fp64-exact sigmas
+    for fp32 Rayleigh estimates). Contract here: refined factors stay
+    valid — recon within 2x of the unrefined path and orthogonality at
+    working precision."""
+    x = rng.standard_normal(shape).astype(np.float32)
+    u0, s0, vt0 = models.svd(x, tile=32, method="bdfac", refine=0)
+    u1, s1, vt1 = models.svd(x, tile=32, method="bdfac", refine=2)
+    x64 = np.asarray(x, np.float64)
+    na = np.linalg.norm(x64)
+
+    def recon(u, s, vt):
+        u, s, vt = map(lambda a: np.asarray(a, np.float64), (u, s, vt))
+        return np.linalg.norm(x64 - (u * s) @ vt) / na
+
+    assert recon(u1, s1, vt1) < 2.0 * recon(u0, s0, vt0) + 1e-6
+    k = min(shape)
+    ou = np.linalg.norm(u1.astype(np.float64).T @ u1.astype(np.float64)
+                        - np.eye(k)) / np.sqrt(k)
+    assert ou < 2e-6, ou
+    np.testing.assert_allclose(s1, s0, rtol=5e-4, atol=5e-5)
+
+
 def test_svd_tiled_input(rng):
     from numpywren_tpu.matrix_init import shard_matrix
 
