@@ -208,6 +208,40 @@ def stage_jrefine(fast):
         _run_jacobi(8192, 512, 1, "jrefine", refine=2, reps=2)
 
 
+def stage_svde2e(fast):
+    """The PUBLIC entry point end-to-end: models.svd(x) with no method
+    argument, exercising the routing stack as a user hits it
+    (host-gflops probe -> jacobi on TPU -> platform-default refine).
+    svd()'s contract is host-in/host-out (np.asarray both ways), so at
+    the flagship size THIS TUNNEL's 1-25 MB/s D2H would dominate the
+    wall (2 x 256 MB of factors) and measure the link, not the
+    framework — the stage therefore times the public path at n=2048
+    (2 x 16 MB factors) and separately asserts the flagship-size
+    routing decision; device-resident pipelines use svd_jacobi
+    directly (jacobi/jrefine stages above are those numbers)."""
+    import numpy as np
+
+    from numpywren_tpu import models
+    from numpywren_tpu.models.svd import _route_default_method
+
+    routed = _route_default_method((8192, 8192))
+    n = 1024 if fast else 2048
+    x = np.asarray(_rand(n, seed=4))
+    walls = []
+    out = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = models.svd(x)
+        walls.append(time.perf_counter() - t0)
+    u, s, vt = out
+    rec = (u * s[None, :]) @ vt
+    r = float(np.linalg.norm(rec - x) / np.linalg.norm(x))
+    ou = float(np.linalg.norm(u.T @ u - np.eye(n)) / np.sqrt(n))
+    log_result("svde2e", n=n, routed_8192=routed,
+               cold_s=round(walls[0], 1), warm_s=round(min(walls[1:]), 1),
+               recon=r, ou=ou)
+
+
 STAGES = {
     "peak": stage_peak,
     "jsmall": stage_jsmall,
@@ -216,6 +250,7 @@ STAGES = {
     "sigonly": stage_sigonly,
     "jskip": stage_jskip,
     "jrefine": stage_jrefine,
+    "svde2e": stage_svde2e,
 }
 
 
